@@ -1,0 +1,125 @@
+"""FFTFIT phase-shift fit between a profile and a model (Taylor 1992).
+
+The objective is the negative weighted Fourier cross-correlation
+
+    C(phi) = -Re sum_k d_k m_k* e^{2 pi i k phi} / err**2
+
+(reference pplib.py:1244-1280).  The reference minimizes it with a brute
+grid (Ns=100) plus a Nelder-Mead polish (pplib.py:2054-2100); here the grid
+is evaluated in one broadcast pass and the minimum is polished with Newton
+iterations on the analytic first/second derivatives, which converges to the
+true minimum at machine precision (strictly tighter than fmin's 1e-4 xtol)
+and vmaps over batches of profiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pulseportraiture_tpu.config import F0_FACT
+from pulseportraiture_tpu.ops.noise import get_noise_PS
+
+TWO_PI = 2.0 * jnp.pi
+
+
+class PhaseShiftResult(NamedTuple):
+    phase: jnp.ndarray
+    phase_err: jnp.ndarray
+    scale: jnp.ndarray
+    scale_err: jnp.ndarray
+    snr: jnp.ndarray
+    red_chi2: jnp.ndarray
+
+
+def _cross_spectrum(data, model, noise=None, f0_fact=F0_FACT):
+    data = jnp.asarray(data)
+    model = jnp.asarray(model)
+    nbin = data.shape[-1]
+    dFFT = jnp.fft.rfft(data, axis=-1)
+    mFFT = jnp.fft.rfft(model, axis=-1)
+    if not f0_fact:
+        dFFT = dFFT.at[..., 0].set(0.0)
+        mFFT = mFFT.at[..., 0].set(0.0)
+    if noise is None:
+        err = get_noise_PS(data, chans=(data.ndim > 1)) * jnp.sqrt(nbin / 2.0)
+    else:
+        err = jnp.asarray(noise) * jnp.sqrt(nbin / 2.0)
+    return dFFT, mFFT, err
+
+
+@functools.partial(jax.jit, static_argnames=("Ns", "newton_iter"))
+def _fit_phase_shift_core(dFFT, mFFT, err, lo, hi, Ns=100, newton_iter=6):
+    """Single-profile core on Fourier-domain inputs."""
+    nharm = dFFT.shape[-1]
+    k = jnp.arange(nharm, dtype=err.dtype)
+    c = dFFT * jnp.conj(mFFT)  # cross spectrum
+    w2 = err ** -2.0
+    d = jnp.sum(jnp.abs(dFFT) ** 2) * w2
+    p = jnp.sum(jnp.abs(mFFT) ** 2) * w2
+
+    def fun(phase):
+        ang = TWO_PI * phase * k
+        return -(jnp.sum(c.real * jnp.cos(ang) - c.imag * jnp.sin(ang))) * w2
+
+    def dfun(phase):
+        ang = TWO_PI * phase * k
+        # Re(2 pi i k c e^{i ang}) = -2 pi k Im(c e^{i ang})
+        return (TWO_PI * jnp.sum(
+            k * (c.imag * jnp.cos(ang) + c.real * jnp.sin(ang)))) * w2
+
+    def d2fun(phase):
+        ang = TWO_PI * phase * k
+        return (TWO_PI ** 2 * jnp.sum(
+            k * k * (c.real * jnp.cos(ang) - c.imag * jnp.sin(ang)))) * w2
+
+    # brute grid (matches opt.brute's inclusive linspace, pplib.py:2085)
+    grid = jnp.linspace(lo, hi, Ns)
+    ang = TWO_PI * grid[:, None] * k
+    vals = -(jnp.cos(ang) @ c.real - jnp.sin(ang) @ c.imag) * w2
+    phase = grid[jnp.argmin(vals)]
+
+    # Newton polish with analytic derivatives (guarded: step only if convex)
+    def newton_step(_, ph):
+        g = dfun(ph)
+        h = d2fun(ph)
+        step = g / jnp.where(h > 0.0, h, jnp.inf)
+        return ph - jnp.clip(step, -0.5 / Ns, 0.5 / Ns)
+
+    phase = jax.lax.fori_loop(0, newton_iter, newton_step, phase)
+
+    fmin = fun(phase)
+    scale = -fmin / p
+    curvature = scale * d2fun(phase)
+    phase_err = jnp.where(curvature > 0.0,
+                          jnp.where(curvature > 0.0, curvature, 1.0) ** -0.5,
+                          jnp.inf)
+    scale_err = p ** -0.5
+    nbin = 2 * (nharm - 1)
+    red_chi2 = (d - (fmin ** 2) / p) / (nbin - 2)
+    snr = jnp.sqrt(jnp.clip(scale ** 2 * p, 0.0))
+    return PhaseShiftResult(phase=phase, phase_err=phase_err, scale=scale,
+                            scale_err=scale_err, snr=snr, red_chi2=red_chi2)
+
+
+def fit_phase_shift(data, model, noise=None, bounds=(-0.5, 0.5), Ns=100):
+    """Fit a phase shift (and scale) between data and model profiles.
+
+    Returned phase is the phase of the data with respect to the model; the
+    rotation functions rotate to earlier phases given a positive phase.
+    Reference: pplib.py:2054-2100.
+    """
+    dFFT, mFFT, err = _cross_spectrum(data, model, noise)
+    return _fit_phase_shift_core(dFFT, mFFT, err, bounds[0], bounds[1], Ns=Ns)
+
+
+def fit_phase_shift_batch(data, model, noise=None, bounds=(-0.5, 0.5),
+                          Ns=100):
+    """vmapped fit_phase_shift over leading axis of (B, nbin) inputs."""
+    dFFT, mFFT, err = _cross_spectrum(data, model, noise)
+    core = jax.vmap(lambda D, M, e: _fit_phase_shift_core(
+        D, M, e, bounds[0], bounds[1], Ns=Ns))
+    return core(dFFT, mFFT, err)

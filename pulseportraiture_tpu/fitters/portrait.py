@@ -1,0 +1,326 @@
+"""Wideband portrait fitters: (phi, DM) and (phi, DM, GM, tau, alpha).
+
+fit_portrait / fit_portrait_full mirror the reference APIs
+(pplib.py:2102-2204, pptoaslib.py:928-1096) on top of the shared
+sufficient-statistics core (stats.py) and the jit trust-region Newton
+optimizer (newton.py).  fit_portrait_full_batch is the TPU production path:
+one jitted, vmapped program covering guess -> optimize -> re-reference ->
+covariance for a whole batch of subints.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pulseportraiture_tpu.config import DCONST
+from pulseportraiture_tpu.fitters import newton, nu_zeros, stats
+from pulseportraiture_tpu.ops.noise import get_noise_PS
+from pulseportraiture_tpu.ops.scattering import scattering_times
+from pulseportraiture_tpu.ops.transform import (mod_pm_half, phase_shifts,
+                                                _inv2, _inv4)
+from pulseportraiture_tpu.utils import DataBunch
+
+
+class PortraitFitResult(NamedTuple):
+    """Pytree result of a 5-parameter fit (vmappable)."""
+
+    params: jnp.ndarray        # (5,) [phi_out, DM, GM, tau_out, alpha]
+    param_errs: jnp.ndarray    # (5,)
+    scales: jnp.ndarray        # (nchan,)
+    scale_errs: jnp.ndarray    # (nchan,)
+    nu_DM: jnp.ndarray
+    nu_GM: jnp.ndarray
+    nu_tau: jnp.ndarray
+    covariance_matrix: jnp.ndarray  # (5,5) masked to fitted params
+    chi2: jnp.ndarray
+    red_chi2: jnp.ndarray
+    snr: jnp.ndarray
+    channel_snrs: jnp.ndarray
+    niter: jnp.ndarray
+    nfeval: jnp.ndarray
+    return_code: jnp.ndarray
+
+    @property
+    def phi(self):
+        return self.params[..., 0]
+
+    @property
+    def DM(self):
+        return self.params[..., 1]
+
+    @property
+    def GM(self):
+        return self.params[..., 2]
+
+    @property
+    def tau(self):
+        return self.params[..., 3]
+
+    @property
+    def alpha(self):
+        return self.params[..., 4]
+
+    @property
+    def phi_err(self):
+        return self.param_errs[..., 0]
+
+    @property
+    def DM_err(self):
+        return self.param_errs[..., 1]
+
+    @property
+    def GM_err(self):
+        return self.param_errs[..., 2]
+
+    @property
+    def tau_err(self):
+        return self.param_errs[..., 3]
+
+    @property
+    def alpha_err(self):
+        return self.param_errs[..., 4]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fit_flags", "log10_tau", "max_iter"))
+def _optimize(init_params, setup, fit_flags, log10_tau, max_iter=100,
+              gtol=1e-11, xtol=1e-14):
+    def fgh(x):
+        return stats.chi2_value_grad_hess(x, setup, fit_flags=fit_flags,
+                                          log10_tau=log10_tau)
+
+    return newton.trust_region_minimize(fgh, init_params, max_iter=max_iter,
+                                        gtol=gtol, xtol=xtol)
+
+
+def _rereference(params, setup, nu_out_DM, nu_out_GM, nu_out_tau,
+                 log10_tau, dconst=DCONST):
+    """Transport fitted (phi, tau) to the output reference frequencies.
+
+    Reference: pptoaslib.py:1052-1065.
+    """
+    phi_fit, DM_fit, GM_fit = params[0], params[1], params[2]
+    x_tau, alpha = params[3], params[4]
+    P = setup.P
+    phi_inf = phase_shifts(phi_fit, DM_fit, GM_fit, jnp.inf, setup.nu_DM,
+                           setup.nu_GM, P, mod=False, dconst=dconst)
+    phi_out = phi_inf + (dconst / P) * DM_fit * _inv2(nu_out_DM) + \
+        (dconst ** 2 / P) * GM_fit * _inv4(nu_out_GM)
+    phi_out = mod_pm_half(phi_out)
+    tau_fit = 10.0 ** x_tau if log10_tau else x_tau
+    tau_out = scattering_times(tau_fit, alpha, nu_out_tau, setup.nu_tau)
+    x_tau_out = jnp.log10(jnp.where(tau_out > 0.0, tau_out, 1.0)) \
+        if log10_tau else tau_out
+    if log10_tau:
+        x_tau_out = jnp.where(tau_out > 0.0, x_tau_out, -jnp.inf)
+    return jnp.stack([phi_out, DM_fit, GM_fit, x_tau_out, alpha])
+
+
+@functools.partial(jax.jit, static_argnames=("fit_flags", "log10_tau"))
+def _finalize(params_out, setup_out, fit_flags, log10_tau, fun):
+    """Covariance, scales, SNR, chi2 at the output reference."""
+    cov, perrs, scales, scale_errs, S = stats.covariance_with_scales(
+        params_out, setup_out, fit_flags=fit_flags, log10_tau=log10_tau)
+    channel_snrs = scales * jnp.sqrt(jnp.clip(S, 0.0))
+    snr = jnp.sqrt(jnp.sum(channel_snrs ** 2))
+    chi2 = setup_out.Sd + fun
+    active = setup_out.w > 0.0
+    nbin_eff = 2 * (setup_out.G.shape[-1] - 1)
+    nfit = sum(int(bool(f)) for f in fit_flags)
+    dof = jnp.sum(active) * nbin_eff - (nfit + jnp.sum(active))
+    red_chi2 = chi2 / dof
+    return cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2
+
+
+def fit_portrait_full(data_port, model_port, init_params, P, freqs,
+                      nu_fits=(None, None, None), nu_outs=(None, None, None),
+                      errs=None, fit_flags=(1, 1, 1, 1, 1), bounds=None,
+                      log10_tau=True, option=0, sub_id=None,
+                      method="trust-ncg", is_toa=True, quiet=True):
+    """Fit phi, DM, GM, tau, alpha between data and model portraits.
+
+    Mirrors reference pptoaslib.py:928-1096.  `method` and `bounds` are
+    accepted for API compatibility; the optimizer is always the exact
+    trust-region Newton (tighter convergence than any reference mode).
+    """
+    data_port = jnp.asarray(data_port)
+    model_port = jnp.asarray(model_port)
+    freqs = jnp.asarray(freqs)
+    fit_flags = tuple(int(bool(f)) for f in fit_flags)
+    if errs is None:
+        errs = get_noise_PS(data_port, chans=True)
+    nu_fit_DM, nu_fit_GM, nu_fit_tau = [
+        jnp.asarray(nf) if nf is not None else freqs.mean() for nf in nu_fits]
+
+    setup = stats.make_setup(data_port, model_port, errs, P, freqs,
+                             nu_fit_DM, nu_fit_GM, nu_fit_tau)
+    start = time.time()
+    res = _optimize(jnp.asarray(init_params, dtype=data_port.dtype), setup,
+                    fit_flags, log10_tau)
+    duration = time.time() - start
+
+    # zero-covariance output references (host closed forms / polynomials)
+    nu_out_DM, nu_out_GM, nu_out_tau = nu_outs
+    if not all(n is not None for n in nu_outs):
+        nz_DM, nz_GM, nz_tau = nu_zeros.get_nu_zeros(
+            res.x, setup, fit_flags=fit_flags, log10_tau=log10_tau,
+            option=option)
+        if nu_out_DM is None:
+            nu_out_DM = nz_DM
+        if nu_out_GM is None:
+            nu_out_GM = nz_GM
+        if nu_out_tau is None:
+            nu_out_tau = nz_tau
+    nu_out_DM = jnp.asarray(nu_out_DM)
+    nu_out_GM = jnp.asarray(nu_out_GM)
+    nu_out_tau = jnp.asarray(nu_out_tau)
+    if is_toa:  # phi must be a TOA-compatible shift (pptoaslib.py:1048-1050)
+        if fit_flags[1]:
+            nu_out_GM = nu_out_DM
+        elif fit_flags[2]:
+            nu_out_DM = nu_out_GM
+
+    params_out = _rereference(res.x, setup, nu_out_DM, nu_out_GM, nu_out_tau,
+                              log10_tau)
+    setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+                               nu_tau=nu_out_tau)
+    cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
+        _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun)
+
+    return PortraitFitResult(
+        params=params_out, param_errs=perrs, scales=scales,
+        scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+        nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
+        red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
+        niter=res.niter, nfeval=res.nfev, return_code=res.status), duration
+
+
+def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
+                 errs=None, bounds=None, id=None, quiet=True):
+    """Fit a phase offset and DM between data and model portraits.
+
+    2-parameter specialization; mirrors reference pplib.py:2102-2204,
+    including its scale_errs = sqrt(S)^-1 convention.
+    """
+    data = jnp.asarray(data)
+    freqs = jnp.asarray(freqs)
+    if errs is None:
+        errs = get_noise_PS(data, chans=True)
+    if nu_fit is None:
+        nu_fit = freqs.mean()
+    fit_flags = (1, 1, 0, 0, 0)
+    init5 = jnp.asarray([init_params[0], init_params[1], 0.0, 0.0, 0.0],
+                        dtype=data.dtype)
+    setup = stats.make_setup(data, model, errs, P, freqs, nu_fit, jnp.inf,
+                             nu_fit)
+    start = time.time()
+    res = _optimize(init5, setup, fit_flags, False)
+    duration = time.time() - start
+
+    nz = nu_zeros.get_nu_zeros(res.x, setup, fit_flags=fit_flags,
+                               log10_tau=False)
+    nu_zero = nz[0]
+    nu_out = nu_zero if nu_out is None else jnp.asarray(nu_out)
+    params_out = _rereference(res.x, setup, nu_out, jnp.inf, jnp.inf, False)
+    setup_out = setup._replace(nu_DM=nu_out)
+    _, g, H = stats.chi2_value_grad_hess(params_out, setup_out,
+                                         fit_flags=fit_flags,
+                                         log10_tau=False)
+    H2 = H[:2, :2]
+    cov2 = jnp.linalg.inv(0.5 * H2)
+    param_errs = jnp.sqrt(jnp.clip(jnp.diag(cov2), 0.0))
+    # scales evaluated at the fit reference (reference pplib.py:2195)
+    scales, S = stats.get_scales(res.x, setup, log10_tau=False)
+    scale_errs = jnp.where(S > 0.0, jnp.where(S > 0.0, S, 1.0) ** -0.5, 0.0)
+    channel_snrs_sq = scales ** 2 * S
+    snr = jnp.sqrt(jnp.sum(channel_snrs_sq))
+    chi2 = setup.Sd + res.fun
+    active = setup.w > 0.0
+    nbin = data.shape[-1]
+    dof = nbin * jnp.sum(active) - (jnp.sum(active) + 2)
+    red_chi2 = chi2 / dof
+    return DataBunch(phase=params_out[0], phase_err=param_errs[0],
+                     DM=params_out[1], DM_err=param_errs[1], scales=scales,
+                     scale_errs=scale_errs, nu_ref=nu_out,
+                     covariance=cov2[0, 1], chi2=chi2, red_chi2=red_chi2,
+                     snr=snr, duration=duration, nfeval=res.nfev,
+                     return_code=res.status)
+
+
+# ----------------------------------------------------------------------
+# Batched production path
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("fit_flags", "log10_tau", "max_iter"))
+def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
+                            errs, weights=None,
+                            nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
+                            log10_tau=True, max_iter=100):
+    """Fully-jitted batched 5-parameter fit over a leading batch axis.
+
+    data_ports/model_ports: (B, nchan, nbin); Ps: (B,); freqs: (B, nchan) or
+    (nchan,); errs: (B, nchan); weights: optional (B, nchan) mask.
+    nu_fits: (B, 3) or None (defaults to per-item mean frequency).
+
+    Output references use the closed-form zero-covariance branches (the
+    polynomial GM branches are host-only; batched GM fits re-reference at
+    nu_fit).  Returns a PortraitFitResult with leading batch dims.
+    """
+    B = data_ports.shape[0]
+    if freqs.ndim == 1:
+        freqs = jnp.broadcast_to(freqs, (B,) + freqs.shape)
+    if nu_fits is None:
+        nu_fits = jnp.broadcast_to(freqs.mean(axis=-1)[:, None], (B, 3))
+    if weights is None:
+        weights = jnp.ones_like(errs)
+
+    def one(data, model, x0, P, fr, er, wt, nf):
+        setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
+                                 weights=wt)
+        res = newton.trust_region_minimize(
+            lambda x: stats.chi2_value_grad_hess(x, setup,
+                                                 fit_flags=fit_flags,
+                                                 log10_tau=log10_tau),
+            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14)
+        nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau)
+        nu_out_DM, nu_out_GM, nu_out_tau = nzs
+        if fit_flags[1]:
+            nu_out_GM = nu_out_DM
+        elif fit_flags[2]:
+            nu_out_DM = nu_out_GM
+        params_out = _rereference(res.x, setup, nu_out_DM, nu_out_GM,
+                                  nu_out_tau, log10_tau)
+        setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+                                   nu_tau=nu_out_tau)
+        outs = _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun)
+        cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
+            outs
+        return PortraitFitResult(
+            params=params_out, param_errs=perrs, scales=scales,
+            scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+            nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
+            red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
+            niter=res.niter, nfeval=res.nfev, return_code=res.status)
+
+    return jax.vmap(one)(data_ports, model_ports, init_params, Ps, freqs,
+                         errs, weights, nu_fits)
+
+
+def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau):
+    """In-jit zero-covariance frequencies for closed-form flag combos.
+
+    Falls back to the fit references for polynomial (GM) branches.
+    """
+    ff = tuple(int(bool(f)) for f in fit_flags)
+    if ff in ((1, 1, 0, 0, 0), (1, 0, 1, 0, 0), (0, 0, 0, 1, 1),
+              (1, 1, 0, 1, 0), (1, 1, 0, 1, 1), (1, 1, 1, 1, 1)):
+        nz = nu_zeros.get_nu_zeros(params, setup, fit_flags=ff,
+                                   log10_tau=log10_tau)
+        return nz[0], nz[1], nz[2]
+    return setup.nu_DM, setup.nu_GM, setup.nu_tau

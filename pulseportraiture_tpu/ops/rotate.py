@@ -1,0 +1,149 @@
+"""Rotation / dedispersion kernels: rFFT -> phase-ramp multiply -> irFFT.
+
+Sign convention (identical to the reference, pplib.py:2433-2434): positive
+phase/DM rotate the data to earlier phases, i.e. "dedisperse" for
+freqs < nu_ref.  When used to dedisperse, rotate_portrait is virtually
+identical to PSRCHIVE's arch.dedisperse() (pplib.py:2436-2437).
+
+Unlike the reference's per-channel Python loops (pplib.py:2450-2459), the
+phase ramp is built as a single broadcasted complex-exponential array so the
+whole op is three fused XLA kernels (rfft, multiply, irfft) and batches/vmaps
+trivially over any leading dimensions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pulseportraiture_tpu.config import DCONST
+from pulseportraiture_tpu.ops.transform import phase_shifts, phasor, _inv2
+
+
+def rotate_profile(profile, phase=0.0):
+    """Rotate a 1-D profile by phase [rot].  Reference: pplib.py:2548-2559."""
+    pFFT = jnp.fft.rfft(profile)
+    nharm = pFFT.shape[-1]
+    return jnp.fft.irfft(pFFT * phasor(jnp.asarray(phase), nharm),
+                         n=profile.shape[-1])
+
+
+def rotate_portrait(port, phase=0.0, DM=None, P=None, freqs=None,
+                    nu_ref=jnp.inf, dconst=DCONST):
+    """Rotate and/or dedisperse a (..., nchan, nbin) portrait.
+
+    Reference: pplib.py:2428-2460.
+    """
+    port = jnp.asarray(port)
+    nbin = port.shape[-1]
+    pFFT = jnp.fft.rfft(port, axis=-1)
+    nharm = pFFT.shape[-1]
+    if DM is None or freqs is None:
+        phis = jnp.asarray(phase, dtype=port.dtype)
+        # scalar phase: broadcast over channels
+        ramp = phasor(phis, nharm)
+        if ramp.ndim == 1:
+            ramp = ramp[None, :]
+    else:
+        D = dconst * DM / P
+        phis = phase + D * (_inv2(jnp.asarray(freqs)) - _inv2(nu_ref))
+        ramp = phasor(phis.astype(port.dtype), nharm)
+    return jnp.fft.irfft(pFFT * ramp, n=nbin, axis=-1)
+
+
+def rotate_portrait_full(port, phi, DM, GM, freqs, nu_DM=jnp.inf,
+                         nu_GM=jnp.inf, P=None, dconst=DCONST):
+    """Rotate with phi + DM + GM simultaneously.
+
+    Reference: pptoaslib.py:52-81.
+    """
+    port = jnp.asarray(port)
+    nbin = port.shape[-1]
+    pFFT = jnp.fft.rfft(port, axis=-1)
+    nharm = pFFT.shape[-1]
+    phis = phase_shifts(phi, DM, GM, jnp.asarray(freqs), nu_DM, nu_GM, P,
+                        mod=False, dconst=dconst)
+    return jnp.fft.irfft(pFFT * phasor(phis.astype(port.dtype), nharm),
+                         n=nbin, axis=-1)
+
+
+def rotate_data(data, phase=0.0, DM=0.0, Ps=None, freqs=None, nu_ref=jnp.inf,
+                dconst=DCONST):
+    """Rotate/dedisperse 1-, 2-, or 4-D data.
+
+    data: (nbin,), (nchan, nbin), or (nsub, npol, nchan, nbin).
+    Ps: scalar or (nsub,) periods [sec]; freqs: scalar, (nchan,), or
+    (nsub, nchan).  Reference: pplib.py:2338-2426.
+    """
+    data = jnp.asarray(data)
+    ndim = data.ndim
+    nbin = data.shape[-1]
+    dFFT = jnp.fft.rfft(data, axis=-1)
+    nharm = dFFT.shape[-1]
+
+    if freqs is None or (isinstance(DM, float) and DM == 0.0 and Ps is None):
+        ramp = phasor(jnp.asarray(phase, dtype=data.dtype), nharm)
+        return jnp.fft.irfft(dFFT * ramp, n=nbin, axis=-1)
+
+    # Promote to (nsub, npol, nchan, nbin) semantics via broadcasting.
+    x = dFFT
+    while x.ndim < 4:
+        x = x[None]
+    nsub, npol, nchan = x.shape[0], x.shape[1], x.shape[2]
+    Ps_arr = jnp.broadcast_to(jnp.asarray(Ps, dtype=data.dtype), (nsub,))
+    freqs_arr = jnp.asarray(freqs, dtype=data.dtype)
+    if freqs_arr.ndim == 0:
+        freqs_arr = jnp.broadcast_to(freqs_arr, (nchan,))
+    if freqs_arr.ndim == 1:
+        freqs_arr = jnp.broadcast_to(freqs_arr, (nsub, nchan))
+    D = dconst * DM / Ps_arr  # (nsub,)
+    fterm = _inv2(freqs_arr) - _inv2(nu_ref)  # (nsub, nchan)
+    phis = phase + D[:, None] * fterm  # (nsub, nchan)
+    ramp = phasor(phis, nharm)[:, None, :, :]  # (nsub, 1, nchan, nharm)
+    out = jnp.fft.irfft(x * ramp, n=nbin, axis=-1)
+    if ndim == 1:
+        return out[0, 0, 0]
+    if ndim == 2:
+        return out[0, 0]
+    return out
+
+
+def fft_rotate(arr, bins):
+    """Rotate array left by (possibly fractional) bins; for testing.
+
+    Reference: pplib.py:2561-2575 (PRESTO-style).
+    """
+    arr = jnp.asarray(arr)
+    size = arr.shape[-1]
+    k = jnp.arange(size // 2 + 1, dtype=arr.dtype)
+    ramp = jnp.exp(2.0j * jnp.pi * k * bins / size)
+    return jnp.fft.irfft(ramp * jnp.fft.rfft(arr), n=size)
+
+
+def add_DM_nu(port, phase=0.0, DM=None, P=None, freqs=None, xs=(-2.0,),
+              Cs=(1.0,), nu_ref=jnp.inf, dconst=DCONST):
+    """Rotate a portrait with an arbitrary power-law dispersion relation.
+
+    freq_term = sum_j C_j * (nu**x_j - nu_ref**x_j); used to simulate
+    frequency-dependent DM.  Reference: pplib.py:2509-2546.
+    """
+    port = jnp.asarray(port)
+    nbin = port.shape[-1]
+    pFFT = jnp.fft.rfft(port, axis=-1)
+    nharm = pFFT.shape[-1]
+    if DM is None or freqs is None:
+        return jnp.fft.irfft(
+            pFFT * phasor(jnp.asarray(phase, dtype=port.dtype), nharm),
+            n=nbin, axis=-1)
+    freqs = jnp.asarray(freqs, dtype=port.dtype)
+    xs = list(xs)
+    Cs = list(Cs)
+    if len(Cs) < len(xs):
+        Cs = Cs + [1.0] * (len(xs) - len(Cs))
+    D = dconst * DM / P
+    freq_term = jnp.zeros_like(freqs)
+    for C, x in zip(Cs, xs):
+        ref_term = jnp.where(jnp.isinf(nu_ref),
+                             0.0 if x < 0 else jnp.inf, nu_ref ** x)
+        freq_term = freq_term + C * (freqs ** x - ref_term)
+    phis = phase + D * freq_term
+    return jnp.fft.irfft(pFFT * phasor(phis, nharm), n=nbin, axis=-1)

@@ -1,0 +1,68 @@
+"""Small shared utilities.
+
+DataBunch is kept for API familiarity with the reference (pplib.py:125-136),
+but results flowing through jit/vmap code paths use typed NamedTuples/pytrees
+instead (see fitters.results).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DataBunch(dict):
+    """dict with attribute access; universal result/record type.
+
+    Reference: pplib.py:125-136.
+    """
+
+    def __init__(self, **kwds):
+        super().__init__(**kwds)
+        self.__dict__ = self
+
+
+def get_bin_centers(nbin: int, lo: float = 0.0, hi: float = 1.0) -> np.ndarray:
+    """Return nbin bin centers with extremities at lo and hi.
+
+    Reference: pplib.py:671-684.
+    """
+    lo = np.float64(lo)
+    hi = np.float64(hi)
+    diff = hi - lo
+    return np.linspace(lo + diff / (nbin * 2), hi - diff / (nbin * 2), nbin)
+
+
+def count_crossings(x: np.ndarray, x0: float) -> int:
+    """Number of crossings of 1-D array x across threshold x0.
+
+    Reference: pplib.py:686-694.
+    """
+    x = np.asarray(x)
+    return int((np.diff(np.sign(x - x0)) != 0).sum() - ((x - x0) == 0).sum())
+
+
+def weighted_mean(data, errs=1.0):
+    """Weighted mean and its standard error; weights are errs**-2.
+
+    Reference: pplib.py:696-709.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    if np.isscalar(errs) or getattr(errs, "ndim", 0) == 0:
+        errs = np.ones(len(data))
+    errs = np.asarray(errs, dtype=np.float64)
+    ok = errs > 0.0
+    w = errs[ok] ** -2.0
+    mean = (data[ok] * w).sum() / w.sum()
+    return mean, w.sum() ** -0.5
+
+
+def get_WRMS(data, errs=1.0):
+    """Weighted root-mean-square value.  Reference: pplib.py:711-725."""
+    data = np.asarray(data, dtype=np.float64)
+    if np.isscalar(errs) or getattr(errs, "ndim", 0) == 0:
+        errs = np.ones(len(data))
+    errs = np.asarray(errs, dtype=np.float64)
+    ok = errs > 0.0
+    w_mean = weighted_mean(data, errs)[0]
+    w = errs[ok] ** -2.0
+    return (((data[ok] - w_mean) ** 2.0 * w).sum() / w.sum()) ** 0.5

@@ -1,0 +1,170 @@
+"""End-to-end fitter recovery tests: inject known (phi, DM, tau, alpha),
+recover to tight tolerances (BASELINE.md parity anchors)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pulseportraiture_tpu.config import DCONST
+from pulseportraiture_tpu.fitters import (fit_phase_shift,
+                                          fit_phase_shift_batch,
+                                          fit_portrait, fit_portrait_full,
+                                          fit_portrait_full_batch)
+from pulseportraiture_tpu.ops import (gaussian_profile, phase_transform,
+                                      rotate_portrait, rotate_portrait_full)
+from pulseportraiture_tpu.ops.scattering import (scattering_times,
+                                                 scattering_portrait_FT)
+
+RNG = np.random.default_rng(123)
+
+
+def make_model(nchan=16, nbin=256):
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model = np.zeros((nchan, nbin))
+    for i, f in enumerate(freqs):
+        wid = 0.04 * (f / 1500.0) ** -0.3
+        amp = (f / 1500.0) ** -1.2
+        model[i] = amp * np.asarray(gaussian_profile(nbin, 0.4, wid)) + \
+            0.4 * amp * np.asarray(gaussian_profile(nbin, 0.47, 0.02))
+    return jnp.asarray(model), jnp.asarray(freqs)
+
+
+def test_fit_phase_shift_recovers_injected_shift():
+    nbin = 256
+    model = np.asarray(gaussian_profile(nbin, 0.4, 0.05))
+    for shift in [0.0123456789, -0.3333, 0.49]:
+        data = np.asarray(rotate_portrait(jnp.asarray(model[None]),
+                                          -shift))[0]
+        res = fit_phase_shift(jnp.asarray(data), jnp.asarray(model),
+                              noise=1e-3)
+        assert abs(float(res.phase) - shift) < 1e-9, shift
+        assert abs(float(res.scale) - 1.0) < 1e-6
+
+
+def test_fit_phase_shift_batch_matches_single():
+    nbin = 256
+    model = np.asarray(gaussian_profile(nbin, 0.4, 0.05))
+    shifts = [0.01, -0.2, 0.35]
+    datas = np.stack([np.asarray(rotate_portrait(jnp.asarray(model[None]),
+                                                 -s))[0] for s in shifts])
+    datas += RNG.normal(0, 1e-3, datas.shape)
+    res_b = fit_phase_shift_batch(jnp.asarray(datas),
+                                  jnp.asarray(np.tile(model, (3, 1))))
+    for i in range(3):
+        res_s = fit_phase_shift(jnp.asarray(datas[i]), jnp.asarray(model))
+        np.testing.assert_allclose(float(res_b.phase[i]),
+                                   float(res_s.phase), atol=1e-12)
+
+
+def test_fit_portrait_recovers_phi_dm_noiseless():
+    model, freqs = make_model()
+    P = 0.003
+    phi0, DM0 = 0.05, 2.5e-3
+    nu_fit = float(np.asarray(freqs).mean())
+    data = rotate_portrait(model, -phi0, -DM0, P, freqs, nu_fit)
+    res = fit_portrait(data, model, [0.0, 0.0], P, freqs, nu_fit=nu_fit,
+                       nu_out=nu_fit, errs=jnp.full(model.shape[0], 1e-3))
+    assert abs(float(res.phase) - phi0) < 1e-9
+    assert abs(float(res.DM) - DM0) < 1e-9
+
+
+def test_fit_portrait_noisy_within_errors():
+    model, freqs = make_model()
+    P = 0.003
+    phi0, DM0 = 0.05, 2.5e-3
+    nu_fit = float(np.asarray(freqs).mean())
+    noise = 0.03
+    data = np.asarray(rotate_portrait(model, -phi0, -DM0, P, freqs, nu_fit))
+    data = data + RNG.normal(0, noise, data.shape)
+    res = fit_portrait(jnp.asarray(data), model, [0.04, 2e-3], P, freqs,
+                       nu_fit=nu_fit, nu_out=nu_fit,
+                       errs=jnp.full(model.shape[0], noise))
+    assert abs(float(res.phase) - phi0) < 5 * float(res.phase_err)
+    assert abs(float(res.DM) - DM0) < 5 * float(res.DM_err)
+    assert 0.8 < float(res.red_chi2) < 1.2
+
+
+def test_fit_portrait_full_recovers_scattering():
+    model, freqs = make_model(nchan=24, nbin=256)
+    nchan, nbin = model.shape
+    P = 0.003
+    phi0, DM0 = 0.02, 1.5e-3
+    tau0 = 0.01  # [rot] at nu_tau
+    alpha0 = -4.0
+    nu_ref = float(np.asarray(freqs).mean())
+    taus = scattering_times(tau0, alpha0, np.asarray(freqs), nu_ref)
+    B = np.asarray(scattering_portrait_FT(jnp.asarray(taus), nbin))
+    scat = np.fft.irfft(B * np.fft.rfft(np.asarray(model), axis=-1),
+                        n=nbin, axis=-1)
+    data = rotate_portrait_full(jnp.asarray(scat), -phi0, -DM0, 0.0, freqs,
+                                nu_ref, np.inf, P=P)
+    init = jnp.asarray([0.0, 0.0, 0.0, np.log10(0.5 * tau0), alpha0])
+    res, duration = fit_portrait_full(
+        data, model, init, P, freqs,
+        nu_fits=(nu_ref, nu_ref, nu_ref),
+        nu_outs=(nu_ref, nu_ref, nu_ref),
+        errs=jnp.full(nchan, 1e-4),
+        fit_flags=(1, 1, 0, 1, 0), log10_tau=True)
+    assert abs(float(res.phi) - phi0) < 1e-8
+    assert abs(float(res.DM) - DM0) < 1e-8
+    assert abs(10 ** float(res.tau) - tau0) < 1e-6
+    assert int(res.return_code) < 3
+
+
+def test_fit_portrait_full_nu_zero_decorrelates():
+    """At the zero-covariance frequency, the phi-DM covariance ~ 0."""
+    model, freqs = make_model()
+    P = 0.003
+    nu_fit = float(np.asarray(freqs).mean())
+    data = np.asarray(rotate_portrait(model, -0.05, -2e-3, P, freqs, nu_fit))
+    data = data + RNG.normal(0, 0.02, data.shape)
+    res, _ = fit_portrait_full(jnp.asarray(data), model,
+                               jnp.zeros(5), P, freqs,
+                               nu_fits=(nu_fit, nu_fit, nu_fit),
+                               errs=jnp.full(model.shape[0], 0.02),
+                               fit_flags=(1, 1, 0, 0, 0))
+    cov = np.asarray(res.covariance_matrix)
+    corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    assert abs(corr) < 1e-4
+
+
+def test_batched_fit_matches_single_fits():
+    model, freqs = make_model(nchan=8, nbin=128)
+    nchan = model.shape[0]
+    P = 0.003
+    nu_fit = float(np.asarray(freqs).mean())
+    noise = 0.02
+    shifts = [(0.01, 1e-3), (-0.04, 2e-3), (0.11, -5e-4)]
+    datas = []
+    for phi0, DM0 in shifts:
+        d = np.asarray(rotate_portrait(model, -phi0, -DM0, P, freqs, nu_fit))
+        datas.append(d + RNG.normal(0, noise, d.shape))
+    datas = jnp.asarray(np.stack(datas))
+    B = len(shifts)
+    # realistic initial guesses (the pipeline seeds phase from a brute
+    # phase fit; far-off inits can lock onto correlation-function aliases)
+    inits = np.zeros((B, 5))
+    for i, (phi0, DM0) in enumerate(shifts):
+        inits[i, 0] = phi0 + 0.005
+        inits[i, 1] = DM0 + 1e-4
+    inits = jnp.asarray(inits)
+    res_b = fit_portrait_full_batch(
+        datas, jnp.broadcast_to(model, datas.shape),
+        inits, jnp.full(B, P), freqs,
+        jnp.full((B, nchan), noise), fit_flags=(1, 1, 0, 0, 0),
+        log10_tau=False)
+    for i, (phi0, DM0) in enumerate(shifts):
+        res_s, _ = fit_portrait_full(
+            datas[i], model, inits[i], P, freqs,
+            errs=jnp.full(nchan, noise), fit_flags=(1, 1, 0, 0, 0),
+            log10_tau=False)
+        np.testing.assert_allclose(float(res_b.params[i, 0]),
+                                   float(res_s.phi), atol=1e-10)
+        np.testing.assert_allclose(float(res_b.params[i, 1]),
+                                   float(res_s.DM), atol=1e-10)
+        np.testing.assert_allclose(float(res_b.nu_DM[i]),
+                                   float(res_s.nu_DM), rtol=1e-10)
+        # output phase is referenced at nu_zero; transport back to nu_fit
+        phi_at_fit = phase_transform(res_b.params[i, 0], res_b.params[i, 1],
+                                     res_b.nu_DM[i], nu_fit, P, mod=True)
+        assert abs(float(phi_at_fit) - phi0) < \
+            5 * float(res_b.param_errs[i, 0]) + 1e-6
