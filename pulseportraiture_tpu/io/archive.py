@@ -1,0 +1,173 @@
+"""load_data / unload / write_archive: the archive-access API.
+
+load_data returns a DataBunch with the same schema as the reference's
+PSRCHIVE-backed loader (pplib.py:2650-2814) so everything above L0 is
+drop-in: subints, freqs, weights, masks, noise_stds, SNRs, epochs, Ps,
+doppler_factors, ok_isubs/ok_ichans, profile stats, and header metadata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.io.psrfits import Archive, read_psrfits, \
+    write_psrfits
+from pulseportraiture_tpu.io.telescopes import telescope_code
+from pulseportraiture_tpu.utils import DataBunch, get_bin_centers
+
+
+def load_data(filename, state=None, dedisperse=False, dededisperse=False,
+              tscrunch=False, pscrunch=False, fscrunch=False,
+              rm_baseline=True, flux_prof=False, refresh_arch=True,
+              return_arch=True, quiet=True):
+    """Load an archive file into the universal DataBunch record.
+
+    Schema-parity with reference pplib.py:2650-2814.
+    """
+    import jax.numpy as jnp
+    from pulseportraiture_tpu.ops.noise import get_noise_PS, get_SNR
+
+    arch = read_psrfits(filename)
+    source = arch.source
+    telescope = arch.telescope
+    tcode = telescope_code(telescope)
+    frontend, backend = arch.frontend, arch.backend
+    backend_delay = arch.backend_delay
+    if state is not None and state != arch.state and state == "Intensity":
+        arch.pscrunch()
+    if dedisperse:
+        arch.dedisperse()
+    if dededisperse:
+        arch.dededisperse()
+    DM = arch.DM
+    dmc = arch.dedispersed
+    if rm_baseline:
+        arch.remove_baseline()
+    if tscrunch:
+        arch.tscrunch()
+    if pscrunch:
+        arch.pscrunch()
+    if fscrunch:
+        arch.fscrunch()
+    nsub, npol, nchan, nbin = arch.data.shape
+    integration_length = float(arch.subtimes.sum())
+    doppler_factors = (arch.doppler_factors if arch.doppler_factors
+                       is not None else np.ones(nsub))
+    parallactic_angles = np.zeros(nsub)
+    nu0 = arch.nu0
+    bw = arch.bw
+    freqs = np.asarray(arch.freqs, dtype=np.float64)
+    if freqs.shape[0] != nsub:
+        freqs = np.broadcast_to(freqs[:1], (nsub, nchan)).copy()
+    phases = get_bin_centers(nbin, lo=0.0, hi=1.0)
+    subints = np.asarray(arch.data, dtype=np.float64)
+    Ps = np.asarray(arch.Ps, dtype=np.float64)
+    epochs = list(arch.epochs)
+    subtimes = list(np.asarray(arch.subtimes, dtype=np.float64))
+    weights = np.asarray(arch.weights, dtype=np.float64)
+    weights_norm = np.where(weights == 0.0, 0.0, 1.0)
+    # per-(sub, pol, chan) off-pulse noise via the PS estimator
+    noise_stds = np.asarray(get_noise_PS(jnp.asarray(subints), chans=True))
+    ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
+    ok_ichans = [np.compress(weights_norm[isub], range(nchan))
+                 for isub in range(nsub)]
+    masks = np.einsum("ij,k->ijk", weights_norm, np.ones(nbin))
+    masks = np.einsum("j,ikl->ijkl", np.ones(npol), masks)
+    SNRs = np.asarray(get_SNR(jnp.asarray(subints)))
+    # profile stats on the scrunched copy
+    prof_arch = arch.copy()
+    prof_arch.pscrunch()
+    if flux_prof:
+        fl = prof_arch.copy()
+        fl.dedisperse()
+        fl.tscrunch()
+        flux_prof_arr = fl.data.mean(axis=3)[0][0]
+    else:
+        flux_prof_arr = np.array([])
+    prof_arch.dedisperse()
+    prof_arch.tscrunch()
+    prof_arch.fscrunch()
+    prof = prof_arch.data[0, 0, 0]
+    prof_noise = float(get_noise_PS(jnp.asarray(prof)))
+    prof_SNR = float(get_SNR(jnp.asarray(prof)))
+    if not quiet:
+        print(f"Read {filename}: {source} P={Ps[0] * 1000:.3f} ms "
+              f"DM={DM:.6f} {nchan}x{nbin} nsub={nsub} state={arch.state}")
+    return DataBunch(
+        arch=arch if return_arch else None, backend=backend,
+        backend_delay=backend_delay, bw=bw,
+        doppler_factors=doppler_factors, DM=DM, dmc=dmc, epochs=epochs,
+        filename=filename, flux_prof=flux_prof_arr, freqs=freqs,
+        frontend=frontend, integration_length=integration_length,
+        masks=masks, nbin=nbin, nchan=nchan, noise_stds=noise_stds,
+        npol=npol, nsub=nsub, nu0=nu0, ok_ichans=ok_ichans,
+        ok_isubs=ok_isubs, parallactic_angles=parallactic_angles,
+        phases=phases, prof=prof, prof_noise=prof_noise, prof_SNR=prof_SNR,
+        Ps=Ps, SNRs=SNRs, source=source, state=arch.state, subints=subints,
+        subtimes=subtimes, telescope=telescope, telescope_code=tcode,
+        weights=weights)
+
+
+def unload_new_archive(data, arch: Archive, outfile, DM=None, dmc=0,
+                       weights=None, quiet=False):
+    """Write new amplitudes into a copy of arch and unload it.
+
+    Reference: pplib.py:3033-3069.
+    """
+    out = arch.copy()
+    if dmc:
+        out.dedisperse()
+    else:
+        out.dededisperse()
+    if DM is not None:
+        out.DM = float(DM)
+    out.data = np.asarray(data, dtype=np.float64)
+    if weights is not None:
+        out.weights = np.asarray(weights, dtype=np.float64)
+    write_psrfits(outfile, out, quiet=quiet)
+
+
+def write_archive(data, ephemeris, freqs, nu0=None, bw=None,
+                  outfile="pparchive.fits", tsub=1.0, start_MJD=None,
+                  weights=None, dedispersed=False, state="Stokes",
+                  telescope="GBT", quiet=False):
+    """Write a data cube + ephemeris to a new archive.
+
+    Reference: pplib.py:3071-3181 (PSRCHIVE ASP-archive hack replaced by
+    direct PSRFITS-subset writing).  Takes dedispersed data.
+    """
+    from pulseportraiture_tpu.io.par import parse_par, period_at
+
+    data = np.asarray(data, dtype=np.float64)
+    nsub, npol, nchan, nbin = data.shape
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if nu0 is None:
+        nu0 = freqs.mean()
+    if bw is None:
+        bw = (freqs.max() - freqs.min()) + abs(freqs[1] - freqs[0])
+    if isinstance(ephemeris, str):
+        with open(ephemeris) as f:
+            eph_lines = f.readlines()
+    else:
+        eph_lines = list(ephemeris)
+    par = parse_par(eph_lines)
+    if start_MJD is None:
+        start_MJD = MJD(50000, 0, 0.0)
+    epochs = [start_MJD.add_seconds(tsub / 2.0 + i * tsub)
+              for i in range(nsub)]
+    Ps = np.array([period_at(par, ep.in_days()) for ep in epochs])
+    if weights is None:
+        weights = np.ones((nsub, nchan))
+    arch = Archive(
+        data=data, freqs=np.broadcast_to(freqs, (nsub, nchan)).copy(),
+        weights=np.asarray(weights, dtype=np.float64), Ps=Ps, epochs=epochs,
+        subtimes=np.full(nsub, float(tsub)), DM=par.DM,
+        dedispersed=True, nu0=float(nu0), bw=float(bw), source=par.PSR,
+        telescope=telescope, frontend="fake_rx", backend="fake_be",
+        state=state if npol == 4 else "Intensity",
+        ephemeris_lines=[ln.rstrip("\n") for ln in eph_lines])
+    if not dedispersed:
+        arch.dededisperse()
+    write_psrfits(outfile, arch, quiet=quiet)
+    return arch

