@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: wideband (phi, DM) portrait fits/sec/chip.
+
+Config from BASELINE.json: 4096 channels x 2048 bins, batched 5-parameter
+fitter restricted to (phi, DM), float32 on the TPU chip (float64 FFTs are
+unsupported on TPU).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fits/sec/chip", "vs_baseline": N}
+vs_baseline is value / 1e4 (the BASELINE.json north-star target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NCHAN = int(os.environ.get("PP_BENCH_NCHAN", 4096))
+NBIN = int(os.environ.get("PP_BENCH_NBIN", 2048))
+BATCH = int(os.environ.get("PP_BENCH_BATCH", 8))
+REPS = int(os.environ.get("PP_BENCH_REPS", 3))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
+
+    rng = np.random.default_rng(0)
+    freqs = np.linspace(1100.0, 1900.0, NCHAN)
+    x = (np.arange(NBIN) + 0.5) / NBIN
+    prof = np.exp(-0.5 * ((x - 0.4) / 0.02) ** 2) + \
+        0.4 * np.exp(-0.5 * ((x - 0.47) / 0.01) ** 2)
+    model = (prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5).astype(
+        np.float32)
+    noise = 0.1
+    P = 0.003
+
+    # realistic per-item injected shifts
+    phis = rng.uniform(-0.01, 0.01, BATCH)
+    dms = rng.uniform(-2e-4, 2e-4, BATCH)
+    data = np.empty((BATCH, NCHAN, NBIN), np.float32)
+    k = 2j * np.pi * np.arange(NBIN // 2 + 1)
+    from pulseportraiture_tpu.config import DCONST
+    mfft = np.fft.rfft(model, axis=-1)
+    nu_fit = freqs.mean()
+    for i in range(BATCH):
+        shift = phis[i] + DCONST * dms[i] / P * (freqs ** -2 -
+                                                 nu_fit ** -2)
+        data[i] = np.fft.irfft(mfft * np.exp(-k * shift[:, None]),
+                               n=NBIN, axis=-1)
+    data += rng.normal(0, noise, data.shape).astype(np.float32)
+
+    data = jnp.asarray(data)
+    model_b = jnp.broadcast_to(jnp.asarray(model), data.shape)
+    init = jnp.zeros((BATCH, 5), jnp.float32)
+    Ps = jnp.full(BATCH, P, jnp.float32)
+    freqs_j = jnp.asarray(freqs, jnp.float32)
+    errs = jnp.full((BATCH, NCHAN), noise, jnp.float32)
+
+    def run():
+        res = fit_portrait_full_batch(data, model_b, init, Ps, freqs_j,
+                                      errs, fit_flags=(1, 1, 0, 0, 0),
+                                      log10_tau=False, max_iter=30,
+                                      fft_matmul=True)
+        jax.block_until_ready(res.params)
+        return res
+
+    res = run()  # compile + warmup
+    params = np.asarray(res.params)
+    max_dphi = np.abs(params[:, 0] - phis).max()
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    dt = min(times)
+    fits_per_sec = BATCH / dt
+    print(json.dumps({
+        "metric": "portrait fits (phase+DM)/sec/chip at "
+                  f"{NCHAN}ch x {NBIN}bin",
+        "value": round(fits_per_sec, 2),
+        "unit": "fits/sec/chip",
+        "vs_baseline": round(fits_per_sec / 1e4, 4),
+        "extra": {"batch": BATCH, "sec_per_batch": round(dt, 4),
+                  "max_abs_dphi_vs_injected": float(max_dphi),
+                  "mean_niter": float(np.asarray(res.niter).mean()),
+                  "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -257,11 +257,12 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 # ----------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("fit_flags", "log10_tau", "max_iter"))
+                   static_argnames=("fit_flags", "log10_tau", "max_iter",
+                                    "fft_matmul"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
-                            log10_tau=True, max_iter=100):
+                            log10_tau=True, max_iter=100, fft_matmul=False):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports/model_ports: (B, nchan, nbin); Ps: (B,); freqs: (B, nchan) or
@@ -282,7 +283,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
 
     def one(data, model, x0, P, fr, er, wt, nf):
         setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
-                                 weights=wt)
+                                 weights=wt, fft_matmul=fft_matmul)
         res = newton.trust_region_minimize(
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,

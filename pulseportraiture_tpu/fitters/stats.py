@@ -56,17 +56,24 @@ class FitSetup(NamedTuple):
 
 
 def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
-               weights=None, f0_fact=F0_FACT):
+               weights=None, f0_fact=F0_FACT, fft_matmul=False):
     """Build a FitSetup from time-domain portraits.
 
     errs: per-channel time-domain noise std (Fourier noise = errs*sqrt(nbin/2),
     reference pptoaslib.py:980-984).  weights: optional 0/1 channel mask.
+    fft_matmul=True computes the rFFTs as MXU DFT matmuls (the TPU-native
+    path: XLA FFT compiles extremely slowly at large nbin; see ops.fourier).
     """
     data_port = jnp.asarray(data_port)
     model_port = jnp.asarray(model_port)
     nbin = data_port.shape[-1]
-    dFT = jnp.fft.rfft(data_port, axis=-1)
-    mFT = jnp.fft.rfft(model_port, axis=-1)
+    if fft_matmul:
+        from pulseportraiture_tpu.ops.fourier import rfft_matmul
+        dFT = rfft_matmul(data_port)
+        mFT = rfft_matmul(model_port)
+    else:
+        dFT = jnp.fft.rfft(data_port, axis=-1)
+        mFT = jnp.fft.rfft(model_port, axis=-1)
     if not f0_fact:
         dFT = dFT.at[..., 0].set(0.0)
         mFT = mFT.at[..., 0].set(0.0)
@@ -112,10 +119,16 @@ def _taus_and_derivs(params, setup, log10_tau):
     return taus, dtau, d2tau
 
 
-def _moments(params, setup, log10_tau, order):
+def _moments(params, setup, log10_tau, order, scattering=True):
     """Shared harmonic reductions for value/grad/hess.
 
     order: 0 -> value only, 1 -> + gradient terms, 2 -> + Hessian terms.
+    scattering=False (a *static* specialization used when tau is known to
+    be identically zero and tau/alpha are not fitted) drops the scattering
+    FT and its derivative arrays from the traced graph entirely — the
+    common (phi, DM) production path then touches only 3 harmonic
+    reductions per evaluation instead of 10, which roughly halves both the
+    XLA compile time and the per-iteration HBM traffic.
     Returns a dict of per-channel reductions.
     """
     G, M2, w = setup.G, setup.M2, setup.w
@@ -127,6 +140,32 @@ def _moments(params, setup, log10_tau, order):
                         setup.nu_DM, setup.nu_GM, setup.P, mod=False)
     ang = TWO_PI * phis[..., None] * k
     Pr, Pi = jnp.cos(ang), jnp.sin(ang)
+    Gr, Gi = G.real, G.imag
+
+    if not scattering:
+        zero2 = jnp.zeros((2,) + setup.freqs.shape, dtype=dtype)
+        zero22 = jnp.zeros((2, 2) + setup.freqs.shape, dtype=dtype)
+        zr = Gr * Pr - Gi * Pi
+        zi = Gr * Pi + Gi * Pr
+        out = {
+            "phis": phis, "taus": jnp.zeros_like(setup.freqs),
+            "dtau": zero2, "d2tau": zero22,
+            "C": w * jnp.sum(zr, axis=-1),
+            "S": w * jnp.sum(M2, axis=-1),
+        }
+        if order == 0:
+            return out
+        phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM, setup.nu_GM,
+                                    setup.P)
+        zero1 = jnp.zeros_like(setup.freqs)
+        out.update(phis_d=phis_d, Rf=zero1, S1=zero1,
+                   Cp=w * (-TWO_PI) * jnp.sum(k * zi, axis=-1))
+        if order == 1:
+            return out
+        out.update(Cpp=w * (-TWO_PI * TWO_PI) * jnp.sum(k * k * zr,
+                                                        axis=-1),
+                   If1=zero1, Rg=zero1, S2=zero1)
+        return out
 
     taus, dtau, d2tau = _taus_and_derivs(params, setup, log10_tau)
     # B = 1/(1 + i c tau), c = 2 pi k
@@ -136,7 +175,6 @@ def _moments(params, setup, log10_tau, order):
     Bi = -ct / Bden
 
     # z = G * conj(B) * P;  conj(B) = Br - i Bi
-    Gr, Gi = G.real, G.imag
     # (Gr + iGi)(Br - iBi) = (GrBr + GiBi) + i(GiBr - GrBi)
     Ar = Gr * Br + Gi * Bi
     Ai = Gi * Br - Gr * Bi

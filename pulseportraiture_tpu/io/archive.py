@@ -68,13 +68,13 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     weights = np.asarray(arch.weights, dtype=np.float64)
     weights_norm = np.where(weights == 0.0, 0.0, 1.0)
     # per-(sub, pol, chan) off-pulse noise via the PS estimator
-    noise_stds = np.asarray(get_noise_PS(jnp.asarray(subints), chans=True))
+    noise_stds = np.array(get_noise_PS(jnp.asarray(subints), chans=True))
     ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
     ok_ichans = [np.compress(weights_norm[isub], range(nchan))
                  for isub in range(nsub)]
     masks = np.einsum("ij,k->ijk", weights_norm, np.ones(nbin))
     masks = np.einsum("j,ikl->ijkl", np.ones(npol), masks)
-    SNRs = np.asarray(get_SNR(jnp.asarray(subints)))
+    SNRs = np.array(get_SNR(jnp.asarray(subints)))
     # profile stats on the scrunched copy
     prof_arch = arch.copy()
     prof_arch.pscrunch()

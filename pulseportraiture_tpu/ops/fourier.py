@@ -1,0 +1,63 @@
+"""rFFT as an explicit DFT matmul — the MXU-native path.
+
+XLA's FFT lowering on TPU is slow to compile at large sizes (and routes
+through non-MXU code); a real DFT matmul compiles instantly and runs on
+the systolic array.  The portrait pipeline only ever transforms along the
+phase axis (nbin <= ~4096), and only once per fit (the optimizer loop is
+FFT-free), so an O(n^2) matmul DFT is both faster in practice and
+numerically exact at these sizes: cost nbin^2 ~ 4M MACs/profile vs FFT's
+n log n ~ 11 bins/profile-element — at nbin=2048 the matmul is ~180x more
+FLOPs but lands on the MXU at ~100x the VPU's throughput and avoids the
+multi-minute XLA FFT compile.
+
+Matrices are cached per (nbin, dtype) and cost 2*nbin*nharm*4 bytes
+(~33 MB at nbin=4096 f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(nbin: int, dtype: str):
+    k = np.arange(nbin // 2 + 1)
+    j = np.arange(nbin)
+    ang = 2.0 * np.pi * np.outer(j, k) / nbin
+    # high-precision host build, cast to target dtype
+    cos_m = np.cos(ang).astype(dtype)
+    sin_m = np.sin(ang).astype(dtype)
+    return jnp.asarray(cos_m), jnp.asarray(sin_m)
+
+
+def rfft_matmul(x, axis=-1):
+    """np.fft.rfft equivalent via two MXU matmuls; axis must be last."""
+    assert axis in (-1, x.ndim - 1)
+    nbin = x.shape[-1]
+    cos_m, sin_m = _dft_mats(nbin, str(x.dtype))
+    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype)
+    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype)
+    return re + 1j * im
+
+
+def irfft_matmul(X, n=None, axis=-1):
+    """np.fft.irfft equivalent via MXU matmuls; axis must be last."""
+    assert axis in (-1, X.ndim - 1)
+    nharm = X.shape[-1]
+    nbin = n if n is not None else 2 * (nharm - 1)
+    re = X.real
+    im = X.imag
+    rdtype = str(re.dtype)
+    cos_m, sin_m = _dft_mats(nbin, rdtype)  # (nbin, nharm)
+    # irfft: x_j = (1/N) [X_0 + 2 sum_{0<k<N/2} (Re cos + Im(-sin)) + X_{N/2} term]
+    w = jnp.ones(nharm, dtype=re.dtype).at[0].set(0.5)
+    if nbin % 2 == 0:
+        w = w.at[-1].set(0.5)
+    re_w = re * w
+    im_w = im * w
+    x = jnp.matmul(re_w, cos_m.T, preferred_element_type=re.dtype) - \
+        jnp.matmul(im_w, sin_m.T, preferred_element_type=re.dtype)
+    return x * (2.0 / nbin)

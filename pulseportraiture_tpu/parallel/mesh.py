@@ -1,0 +1,72 @@
+"""Mesh construction and sharded batched fitting.
+
+The workload's parallel axes (SURVEY.md section 2): *batch* =
+epochs x subints (embarrassingly parallel TOA fits, the data-parallel
+axis) and *channel* (the per-channel Cdbp/Sbp sufficient statistics are
+channel-separable sums, so the channel axis shards like a sequence axis —
+each device reduces its channels' partial C/S/gradient/Hessian and a
+single small psum closes the Newton step).
+
+Sharding is expressed with jax.sharding.NamedSharding on the inputs of
+the already-jitted batched fitter; GSPMD propagates the layout through
+the while_loop and inserts the cross-device reductions over 'chan'
+(1 + 5 + 25 floats per item per iteration) on ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_batch=None, n_chan=1, devices=None) -> Mesh:
+    """Build a ('batch', 'chan') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    total = len(devices)
+    if n_batch is None:
+        n_batch = total // n_chan
+    assert n_batch * n_chan <= total, \
+        f"mesh {n_batch}x{n_chan} exceeds {total} devices"
+    grid = np.array(devices[:n_batch * n_chan]).reshape(n_batch, n_chan)
+    return Mesh(grid, ("batch", "chan"))
+
+
+def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
+                              Ps, freqs, errs, weights=None,
+                              nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
+                              log10_tau=True, max_iter=100):
+    """Batched wideband fit with (batch, chan)-sharded portraits.
+
+    data_ports/model_ports: (B, nchan, nbin) sharded as ('batch', 'chan',
+    None); per-item scalars are sharded along 'batch'.  Returns the same
+    PortraitFitResult as fit_portrait_full_batch.
+    """
+    from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
+
+    B, nchan, _ = data_ports.shape
+    if freqs.ndim == 1:
+        freqs = jnp.broadcast_to(freqs, (B, nchan))
+    if weights is None:
+        weights = jnp.ones_like(errs)
+    if nu_fits is None:
+        nu_fits = jnp.broadcast_to(freqs.mean(axis=-1)[:, None], (B, 3))
+
+    s_port = NamedSharding(mesh, P("batch", "chan", None))
+    s_chan = NamedSharding(mesh, P("batch", "chan"))
+    s_item = NamedSharding(mesh, P("batch"))
+
+    data_ports = jax.device_put(data_ports, s_port)
+    model_ports = jax.device_put(model_ports, s_port)
+    init_params = jax.device_put(init_params, s_item)
+    Ps = jax.device_put(Ps, s_item)
+    freqs = jax.device_put(freqs, s_chan)
+    errs = jax.device_put(errs, s_chan)
+    weights = jax.device_put(weights, s_chan)
+    nu_fits = jax.device_put(nu_fits, s_item)
+
+    return fit_portrait_full_batch(data_ports, model_ports, init_params,
+                                   Ps, freqs, errs, weights=weights,
+                                   nu_fits=nu_fits, fit_flags=fit_flags,
+                                   log10_tau=log10_tau, max_iter=max_iter)
