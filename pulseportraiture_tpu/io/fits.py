@@ -173,13 +173,16 @@ def _write_table(f, hdu):
     cards.append(("EXTNAME", hdu.name))
     cards += [(k, v) for k, v in hdu.header.items()]
     _write_header(f, cards)
-    # interleave rows
+    # interleave rows (native multithreaded scatter when available)
+    from pulseportraiture_tpu.io import native
     row = np.zeros((nrow, row_bytes), dtype="u1")
     off = 0
     for _, _, data in specs:
-        b = data.reshape(nrow, -1).view("u1").reshape(nrow, -1)
-        row[:, off:off + b.shape[1]] = b
-        off += b.shape[1]
+        # data is already big-endian from _col_spec: scatter bytes as-is
+        col_u1 = np.ascontiguousarray(data.reshape(nrow, -1)).view(
+            "u1").reshape(nrow, -1)
+        native.col_insert(col_u1, row, off, 1)
+        off += col_u1.shape[1]
     buf = row.tobytes()
     pad = (-len(buf)) % BLOCK
     f.write(buf + b"\x00" * pad)
@@ -216,9 +219,10 @@ def read_fits(path):
                     cols[name] = chunk.reshape(nrow, repeat).view(
                         f"S{repeat}")[:, 0]
                 else:
-                    arr = np.frombuffer(chunk.tobytes(), dtype=dt).reshape(
-                        nrow, repeat)
-                    arr = arr.astype(arr.dtype.newbyteorder("="))
+                    from pulseportraiture_tpu.io import native
+                    ext = native.col_extract(rows, off - nbytes, nbytes,
+                                             size)
+                    arr = ext.view(dt.lstrip(">")).reshape(nrow, repeat)
                     cols[name] = arr[:, 0] if repeat == 1 else arr
             hdus.append(HDU(header=header, columns=cols,
                             name=header.get("EXTNAME", "")))

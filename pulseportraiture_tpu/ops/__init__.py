@@ -10,6 +10,8 @@ from pulseportraiture_tpu.ops.transform import (
     phase_transform,
     DM_delay,
     guess_fit_freq,
+    GM_from_DMc,
+    DMc_from_GM,
 )
 from pulseportraiture_tpu.ops.rotate import (
     rotate_portrait,

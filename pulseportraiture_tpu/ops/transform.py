@@ -130,3 +130,25 @@ def guess_fit_freq(freqs, SNRs=None):
         SNRs = jnp.ones_like(freqs)
     w = SNRs * freqs ** -2
     return nu0 + jnp.sum((freqs - nu0) * w) / jnp.sum(w)
+
+
+def GM_from_DMc(DMc, D, a_perp):
+    """Geometric ("GM") nu^-4 delay factor from a discrete cloud.
+
+    DMc [pc cm^-3] is the cloud's dispersion measure, D [kpc] the
+    Earth-cloud distance, a_perp [AU] its transverse scale (Lam+16).
+    Reference: pptoaslib.py:83-96.
+    """
+    c = 3e10 / 3.1e21  # cm/s over cm/kpc
+    return DMc ** 2 * (c * D) / (2.0 * (a_perp * 4.8e-9) ** 2)
+
+
+def DMc_from_GM(GM, D, a_perp):
+    """Inverse of GM_from_DMc.
+
+    Implemented as the exact algebraic inverse; the reference's version
+    (pptoaslib.py:98-110) misplaces a square on a_perp and is not the
+    inverse of its own forward function.
+    """
+    c = 3e10 / 3.1e21
+    return (GM * 2.0 * (a_perp * 4.8e-9) ** 2 / (c * D)) ** 0.5

@@ -418,6 +418,94 @@ class GetTOAs:
                       f"(~{tot_duration / max(ntoa, 1):.4f} sec/TOA fit); "
                       f"Med. TOA error is {med_err:.3f} us")
 
+    def get_narrowband_TOAs(self, datafile=None, tscrunch=False,
+                            print_phase=False, print_flux=False,
+                            addtnl_toa_flags=None, quiet=None):
+        """Per-channel (narrowband) TOAs via batched FFTFIT.
+
+        Reference: pptoas.py:745-1131, which loops fit_phase_shift over
+        channels in Python; here every live channel of a subint goes
+        through one vmapped fit_phase_shift_batch call (the scattering
+        fit there is scaffolded-disabled, pptoas.py:988-994, and is a
+        documented non-goal).  TOAs carry no DM; flags follow
+        pptoas.py:1060-1087 (chan flag instead of nch/nchx).
+        """
+        import jax.numpy as jnp
+        from pulseportraiture_tpu.fitters.phase_shift import \
+            fit_phase_shift_batch
+
+        quiet = self.quiet if quiet is None else quiet
+        datafiles = [datafile] if datafile is not None else self.datafiles
+        addtnl_toa_flags = addtnl_toa_flags or {}
+        start_all = time.time()
+        tot_duration = 0.0
+        ntoa = 0
+
+        for idf, df in enumerate(datafiles):
+            try:
+                data = load_data(df, dedisperse=False, dededisperse=False,
+                                 tscrunch=tscrunch, pscrunch=True,
+                                 rm_baseline=True, quiet=quiet)
+            except (OSError, ValueError, KeyError) as exc:
+                print(f"Skipping {df}: could not load ({exc})")
+                continue
+            nbin = data.nbin
+            for isub in data.ok_isubs:
+                P = data.Ps[isub]
+                freqs = data.freqs[isub]
+                port = data.subints[isub, 0]
+                errs_all = data.noise_stds[isub, 0]
+                okc = data.ok_ichans[isub]
+                if not len(okc):
+                    continue
+                model = self.model_source.eval(data.phases, freqs, P)
+                t0 = time.time()
+                res = fit_phase_shift_batch(
+                    jnp.asarray(port[okc]), jnp.asarray(model[okc]),
+                    noise=jnp.asarray(errs_all[okc]))
+                duration = time.time() - t0
+                tot_duration += duration
+                phases = np.asarray(res.phase)
+                phase_errs = np.asarray(res.phase_err)
+                scales = np.asarray(res.scale)
+                scale_errs = np.asarray(res.scale_err)
+                snrs = np.asarray(res.snr)
+                gofs = np.asarray(res.red_chi2)
+                model_means = model[okc].mean(-1)
+                epoch = data.epochs[isub]
+                for ix, ichan in enumerate(okc):
+                    toa_mjd = epoch.add_seconds(
+                        phases[ix] * P + data.backend_delay)
+                    toa_err_us = phase_errs[ix] * P * 1e6
+                    flags = dict(
+                        be=data.backend, fe=data.frontend,
+                        f=f"{data.frontend}_{data.backend}",
+                        nbin=nbin,
+                        bw=float(abs(data.bw) / data.nchan),
+                        subint=int(isub), chan=int(ichan),
+                        tobs=float(data.subtimes[isub]),
+                        tmplt=self.modelfile,
+                        snr=float(snrs[ix]), gof=float(gofs[ix]))
+                    if print_phase:
+                        flags["phs"] = float(phases[ix])
+                        flags["phs_err"] = float(phase_errs[ix])
+                    if print_flux:
+                        flags["flux"] = float(scales[ix] *
+                                              model_means[ix])
+                        flags["flux_err"] = float(
+                            abs(scale_errs[ix]) * model_means[ix])
+                    flags.update(addtnl_toa_flags)
+                    toa = TOA(df, float(freqs[ichan]), toa_mjd,
+                              float(toa_err_us), data.telescope,
+                              data.telescope_code, flags=flags)
+                    self.TOA_list.append(toa)
+                    ntoa += 1
+
+        if not quiet and ntoa:
+            wall = time.time() - start_all
+            print(f"\nFit {ntoa} narrowband TOAs in {wall:.2f} s "
+                  f"(~{tot_duration / ntoa:.4f} sec/TOA fit)")
+
     def get_channels_to_zap(self, SNR_threshold=8.0, rchi2_threshold=1.3,
                             iterate=True, show=False):
         """Post-fit channel flagging (reference pptoas.py:1208-1285).
