@@ -64,7 +64,7 @@ def main():
         res = fit_portrait_full_batch(data, model_b, init, Ps, freqs_j,
                                       errs, fit_flags=(1, 1, 0, 0, 0),
                                       log10_tau=False, max_iter=30,
-                                      fft_matmul=True)
+                                      fft_matmul=True, scattering=False)
         jax.block_until_ready(res.params)
         return res
 

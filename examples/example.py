@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""End-to-end synthetic example: the framework's verification flow.
+
+Mirrors the reference's examples/example.py (its de-facto integration
+test, SURVEY.md section 4): generate fake epochs with known injected
+per-epoch dDMs and scintillation, align+average them, build a portrait
+model (ppspline or ppgauss routine), measure wideband TOAs+DMs, write a
+.tim file, and compare the fitted DeltaDM_means against the injection.
+
+Run from this directory:  python example.py [--platform cpu] [--ppgauss]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--platform", default=None,
+                help="force the jax backend (e.g. cpu)")
+ap.add_argument("--ppgauss", action="store_true",
+                help="use the Gaussian-component model routine "
+                     "instead of PCA+spline")
+ap.add_argument("--fit_scat", action="store_true",
+                help="fit the scattering timescale in the TOA fits")
+ap.add_argument("--nfiles", type=int, default=5)
+ap.add_argument("--nsub", type=int, default=10)
+ap.add_argument("--nchan", type=int, default=64)
+ap.add_argument("--nbin", type=int, default=512)
+args = ap.parse_args()
+
+import jax  # noqa: E402
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+import numpy as np  # noqa: E402
+
+from pulseportraiture_tpu import GetTOAs, write_TOAs  # noqa: E402
+from pulseportraiture_tpu.io.mjd import MJD  # noqa: E402
+from pulseportraiture_tpu.pipelines.align import align_archives  # noqa: E402
+from pulseportraiture_tpu.portrait import DataPortrait  # noqa: E402
+from pulseportraiture_tpu.sim.fake import make_fake_pulsar  # noqa: E402
+
+modelfile = "example.gmodel"
+ephemeris = "example.par"
+
+nfiles = args.nfiles
+MJD0 = 57202.00
+days = 20.0
+nsub = args.nsub
+nchan = args.nchan
+nbin = args.nbin
+nu0, bw = 1500.0, 800.0
+tsub = 60.0
+noise_std = 1.5
+dDM_mean, dDM_std = 3e-4, 2e-4
+rng = np.random.default_rng()
+dDMs = rng.normal(dDM_mean, dDM_std, nfiles)
+
+print("Making fake data...")
+files = []
+for ifile in range(nfiles):
+    outfile = f"example-{ifile + 1}.fits"
+    make_fake_pulsar(modelfile, ephemeris, outfile=outfile, nsub=nsub,
+                     npol=1, nchan=nchan, nbin=nbin, nu0=nu0, bw=bw,
+                     tsub=tsub, phase=0.0, dDM=dDMs[ifile],
+                     start_MJD=MJD(MJD0 + ifile * days),
+                     noise_stds=noise_std, scales=1.0, dedispersed=False,
+                     scint=True, quiet=ifile > 0, rng=rng)
+    files.append(outfile)
+
+metafile = "example.meta"
+with open(metafile, "w") as f:
+    f.write("\n".join(files) + "\n")
+
+print("Aligning and averaging the epochs...")
+align_archives(metafile=metafile, initial_guess=files[0], tscrunch=True,
+               outfile="example.port", niter=1, quiet=True)
+
+dp = DataPortrait("example.port")
+dp.normalize_portrait("prof")
+if args.ppgauss:
+    print("Fitting an evolving-Gaussian model (ppgauss routine)...")
+    fitted_modelfile = "example-fit.gmodel"
+    dp.make_gaussian_model(ref_prof=(nu0, bw / 4), fixloc=True, ngauss=3,
+                           niter=3, fiducial_gaussian=True,
+                           outfile=fitted_modelfile, quiet=True)
+else:
+    print("Fitting a PCA/B-spline model (ppspline routine)...")
+    fitted_modelfile = "example-fit.spl"
+    dp.make_spline_model(max_ncomp=3, smooth=True, snr_cutoff=150.0,
+                         rchi2_tol=0.1, k=3, sfac=1.0, quiet=True)
+    dp.write_model(fitted_modelfile, quiet=True)
+
+print("Measuring wideband TOAs and DMs...")
+DM0 = None
+for line in open(ephemeris):
+    if line.split() and line.split()[0] == "DM":
+        DM0 = float(line.split()[1])
+gt = GetTOAs(metafile, fitted_modelfile, quiet=True)
+gt.get_TOAs(DM0=DM0, fit_scat=args.fit_scat)
+write_TOAs(gt.TOA_list, SNR_cutoff=0.0, outfile="example.tim",
+           append=False)
+print(f"Wrote {len(gt.TOA_list)} TOAs to example.tim")
+
+dDM_fit = np.array(gt.DeltaDM_means)
+diff = dDMs[:len(dDM_fit)] - dDM_fit
+print("\nInjected dDMs: ", np.array2string(dDMs, precision=6))
+print("Fitted  dDMs: ", np.array2string(dDM_fit, precision=6))
+print("Difference mean %.3g, std %.3g  (errors: %s)" %
+      (diff.mean(), diff.std(),
+       np.array2string(np.array(gt.DeltaDM_errs), precision=2)))
+ok = np.all(np.abs(diff) < 5 * (np.array(gt.DeltaDM_errs) + 1e-6))
+print("PASS" if ok else "MARGINAL: differences exceed 5x errors")

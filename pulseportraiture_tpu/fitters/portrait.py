@@ -87,12 +87,14 @@ class PortraitFitResult(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fit_flags", "log10_tau", "max_iter"))
+                   static_argnames=("fit_flags", "log10_tau", "max_iter",
+                                    "scattering"))
 def _optimize(init_params, setup, fit_flags, log10_tau, max_iter=100,
-              gtol=1e-11, xtol=1e-14):
+              gtol=1e-11, xtol=1e-14, scattering=True):
     def fgh(x):
         return stats.chi2_value_grad_hess(x, setup, fit_flags=fit_flags,
-                                          log10_tau=log10_tau)
+                                          log10_tau=log10_tau,
+                                          scattering=scattering)
 
     return newton.trust_region_minimize(fgh, init_params, max_iter=max_iter,
                                         gtol=gtol, xtol=xtol)
@@ -121,11 +123,14 @@ def _rereference(params, setup, nu_out_DM, nu_out_GM, nu_out_tau,
     return jnp.stack([phi_out, DM_fit, GM_fit, x_tau_out, alpha])
 
 
-@functools.partial(jax.jit, static_argnames=("fit_flags", "log10_tau"))
-def _finalize(params_out, setup_out, fit_flags, log10_tau, fun):
+@functools.partial(jax.jit, static_argnames=("fit_flags", "log10_tau",
+                                              "scattering"))
+def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
+              scattering=True):
     """Covariance, scales, SNR, chi2 at the output reference."""
     cov, perrs, scales, scale_errs, S = stats.covariance_with_scales(
-        params_out, setup_out, fit_flags=fit_flags, log10_tau=log10_tau)
+        params_out, setup_out, fit_flags=fit_flags, log10_tau=log10_tau,
+        scattering=scattering)
     channel_snrs = scales * jnp.sqrt(jnp.clip(S, 0.0))
     snr = jnp.sqrt(jnp.sum(channel_snrs ** 2))
     chi2 = setup_out.Sd + fun
@@ -141,7 +146,8 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
                       nu_fits=(None, None, None), nu_outs=(None, None, None),
                       errs=None, fit_flags=(1, 1, 1, 1, 1), bounds=None,
                       log10_tau=True, option=0, sub_id=None,
-                      method="trust-ncg", is_toa=True, quiet=True):
+                      method="trust-ncg", is_toa=True, quiet=True,
+                      scattering=None):
     """Fit phi, DM, GM, tau, alpha between data and model portraits.
 
     Mirrors reference pptoaslib.py:928-1096.  `method` and `bounds` are
@@ -152,6 +158,12 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     model_port = jnp.asarray(model_port)
     freqs = jnp.asarray(freqs)
     fit_flags = tuple(int(bool(f)) for f in fit_flags)
+    # static no-scattering specialization: only safe when the caller
+    # guarantees tau is identically zero (tau/alpha unfitted forces it on)
+    if fit_flags[3] or fit_flags[4]:
+        scattering = True
+    elif scattering is None:
+        scattering = True
     if errs is None:
         errs = get_noise_PS(data_port, chans=True)
     nu_fit_DM, nu_fit_GM, nu_fit_tau = [
@@ -161,7 +173,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
                              nu_fit_DM, nu_fit_GM, nu_fit_tau)
     start = time.time()
     res = _optimize(jnp.asarray(init_params, dtype=data_port.dtype), setup,
-                    fit_flags, log10_tau)
+                    fit_flags, log10_tau, scattering=scattering)
     duration = time.time() - start
 
     # zero-covariance output references (host closed forms / polynomials)
@@ -190,7 +202,8 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
                                nu_tau=nu_out_tau)
     cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
-        _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun)
+        _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun,
+                  scattering=scattering)
 
     return PortraitFitResult(
         params=params_out, param_errs=perrs, scales=scales,
@@ -219,7 +232,7 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
     setup = stats.make_setup(data, model, errs, P, freqs, nu_fit, jnp.inf,
                              nu_fit)
     start = time.time()
-    res = _optimize(init5, setup, fit_flags, False)
+    res = _optimize(init5, setup, fit_flags, False, scattering=False)
     duration = time.time() - start
 
     nz = nu_zeros.get_nu_zeros(res.x, setup, fit_flags=fit_flags,
@@ -230,12 +243,13 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
     setup_out = setup._replace(nu_DM=nu_out)
     _, g, H = stats.chi2_value_grad_hess(params_out, setup_out,
                                          fit_flags=fit_flags,
-                                         log10_tau=False)
+                                         log10_tau=False, scattering=False)
     H2 = H[:2, :2]
     cov2 = jnp.linalg.inv(0.5 * H2)
     param_errs = jnp.sqrt(jnp.clip(jnp.diag(cov2), 0.0))
     # scales evaluated at the fit reference (reference pplib.py:2195)
-    scales, S = stats.get_scales(res.x, setup, log10_tau=False)
+    scales, S = stats.get_scales(res.x, setup, log10_tau=False,
+                                 scattering=False)
     scale_errs = jnp.where(S > 0.0, jnp.where(S > 0.0, S, 1.0) ** -0.5, 0.0)
     channel_snrs_sq = scales ** 2 * S
     snr = jnp.sqrt(jnp.sum(channel_snrs_sq))
@@ -258,11 +272,12 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
-                                    "fft_matmul"))
+                                    "fft_matmul", "scattering"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
-                            log10_tau=True, max_iter=100, fft_matmul=False):
+                            log10_tau=True, max_iter=100, fft_matmul=False,
+                            scattering=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports/model_ports: (B, nchan, nbin); Ps: (B,); freqs: (B, nchan) or
@@ -273,6 +288,10 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     polynomial GM branches are host-only; batched GM fits re-reference at
     nu_fit).  Returns a PortraitFitResult with leading batch dims.
     """
+    if fit_flags[3] or fit_flags[4]:
+        scattering = True
+    elif scattering is None:
+        scattering = True
     B = data_ports.shape[0]
     if freqs.ndim == 1:
         freqs = jnp.broadcast_to(freqs, (B,) + freqs.shape)
@@ -287,7 +306,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         res = newton.trust_region_minimize(
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,
-                                                 log10_tau=log10_tau),
+                                                 log10_tau=log10_tau,
+                                                 scattering=scattering),
             x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14)
         nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau)
         nu_out_DM, nu_out_GM, nu_out_tau = nzs
@@ -299,7 +319,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                                   nu_out_tau, log10_tau)
         setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
                                    nu_tau=nu_out_tau)
-        outs = _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun)
+        outs = _finalize(params_out, setup_out, fit_flags, log10_tau,
+                         res.fun, scattering=scattering)
         cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
             outs
         return PortraitFitResult(

@@ -74,3 +74,37 @@ def fit_DM_to_freq_resids(freqs, frequency_residuals, errs, dconst=DCONST):
                      nu_ref_err=nu_ref_err, ab_cov=cov,
                      residuals=residuals, chi2=chi2, dof=dof,
                      red_chi2=chi2 / max(dof, 1))
+
+
+def powlaw(nu, nu_ref, A, alpha):
+    """Power-law spectrum A*(nu/nu_ref)**alpha.  Reference: pplib.py:1048."""
+    return A * (nu / nu_ref) ** alpha
+
+
+def powlaw_integral(nu2, nu1, nu_ref, A, alpha):
+    """Definite integral of the power law from nu1 to nu2.
+
+    Reference: pplib.py:1054-1066 (log form at alpha == -1).
+    """
+    alpha = float(alpha)
+    if alpha == -1.0:
+        return A * nu_ref * np.log(nu2 / nu1)
+    c = 1.0 + alpha
+    return A * nu_ref ** -alpha * (nu2 ** c - nu1 ** c) / c
+
+
+def powlaw_freqs(lo, hi, N, alpha, mid=False):
+    """Channel-edge (or center, mid=True) frequencies giving equal flux
+    per channel under a power-law spectrum.
+
+    Reference: pplib.py:1068-1096.
+    """
+    alpha = float(alpha)
+    if alpha == -1.0:
+        edges = np.exp(np.linspace(np.log(lo), np.log(hi), N + 1))
+    else:
+        c = 1.0 + alpha
+        edges = np.linspace(lo ** c, hi ** c, N + 1) ** (1.0 / c)
+    if mid:
+        return 0.5 * (edges[:-1] + edges[1:])
+    return edges

@@ -53,6 +53,9 @@ class FitSetup(NamedTuple):
     nu_GM: jnp.ndarray  # scalar reference freq for GM term
     nu_tau: jnp.ndarray  # scalar reference freq for scattering law
     Sd: jnp.ndarray     # scalar: sum_n w_n sum_k |dFT|**2 (data term)
+    S0: jnp.ndarray     # (nchan,) sum_k M2 (unweighted): S/w when
+                        # scattering == 0; loop-invariant, multiplied by
+                        # the current w at use time so masks stay live
 
 
 def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
@@ -84,10 +87,11 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     G = dFT * jnp.conj(mFT)
     M2 = jnp.abs(mFT) ** 2
     Sd = jnp.sum(w * jnp.sum(jnp.abs(dFT) ** 2, axis=-1))
+    S0 = jnp.sum(M2, axis=-1)
     return FitSetup(G=G, M2=M2, w=w, freqs=jnp.asarray(freqs),
                     P=jnp.asarray(P), nu_DM=jnp.asarray(nu_DM),
                     nu_GM=jnp.asarray(nu_GM), nu_tau=jnp.asarray(nu_tau),
-                    Sd=jnp.asarray(Sd))
+                    Sd=jnp.asarray(Sd), S0=S0)
 
 
 def _taus_and_derivs(params, setup, log10_tau):
@@ -151,7 +155,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
             "phis": phis, "taus": jnp.zeros_like(setup.freqs),
             "dtau": zero2, "d2tau": zero22,
             "C": w * jnp.sum(zr, axis=-1),
-            "S": w * jnp.sum(M2, axis=-1),
+            "S": w * setup.S0,
         }
         if order == 0:
             return out
@@ -265,12 +269,13 @@ def _hess_stacks(m):
     return d2C, d2S
 
 
-def chi2_prime(params, setup, log10_tau=True):
+def chi2_prime(params, setup, log10_tau=True, scattering=True):
     """-sum_n C^2/S (without the constant data term Sd).
 
     Reference: pptoaslib.py:525-542.
     """
-    m = _moments(params, setup, log10_tau, order=0)
+    m = _moments(params, setup, log10_tau, order=0,
+                 scattering=scattering)
     active = setup.w > 0.0
     si = jnp.where(active & (m["S"] != 0.0), 1.0 / jnp.where(m["S"] != 0.0,
                                                              m["S"], 1.0), 0.0)
@@ -278,14 +283,15 @@ def chi2_prime(params, setup, log10_tau=True):
 
 
 def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                         log10_tau=True):
+                         log10_tau=True, scattering=True):
     """(chi2', gradient(5,), Hessian(5,5)) in one fused evaluation.
 
     Gradient: reference pptoaslib.py:544-574; Hessian (amplitude-profiled):
     pptoaslib.py:576-643.  Rows/cols of non-fitted parameters are masked to
     zero (gradient) / identity (Hessian) so a Newton step leaves them fixed.
     """
-    m = _moments(params, setup, log10_tau, order=2)
+    m = _moments(params, setup, log10_tau, order=2,
+                 scattering=scattering)
     C, S = m["C"], m["S"]
     active = (setup.w > 0.0) & (S != 0.0)
     si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
@@ -312,12 +318,13 @@ def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
 
 
 def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                          log10_tau=True):
+                          log10_tau=True, scattering=True):
     """Per-channel amplitude-profiled Hessian (5, 5, nchan).
 
     Used by the zero-covariance frequency solver (pptoaslib.py:733-906).
     """
-    m = _moments(params, setup, log10_tau, order=2)
+    m = _moments(params, setup, log10_tau, order=2,
+                 scattering=scattering)
     C, S = m["C"], m["S"]
     active = (setup.w > 0.0) & (S != 0.0)
     si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
@@ -333,12 +340,13 @@ def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
     return Hn * (flags[:, None] * flags[None, :])[..., None]
 
 
-def get_scales(params, setup, log10_tau=True):
+def get_scales(params, setup, log10_tau=True, scattering=True):
     """Maximum-likelihood per-channel amplitudes a_n = C_n/S_n and S_n.
 
     Reference: pptoaslib.py:908-926.
     """
-    m = _moments(params, setup, log10_tau, order=0)
+    m = _moments(params, setup, log10_tau, order=0,
+                 scattering=scattering)
     C, S = m["C"], m["S"]
     active = (setup.w > 0.0) & (S != 0.0)
     si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
@@ -346,7 +354,7 @@ def get_scales(params, setup, log10_tau=True):
 
 
 def covariance_with_scales(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                           log10_tau=True):
+                           log10_tau=True, scattering=True):
     """(param_cov (5,5), param_errs (5,), scales, scale_errs, channel S).
 
     The (5+nchan)-parameter covariance (fit params + per-channel amplitudes)
@@ -354,7 +362,8 @@ def covariance_with_scales(params, setup, fit_flags=(1, 1, 1, 1, 1),
     is diagonal (2 S_n), so only a 5x5 solve is needed.
     Reference: pptoaslib.py:645-731.
     """
-    m = _moments(params, setup, log10_tau, order=2)
+    m = _moments(params, setup, log10_tau, order=2,
+                 scattering=scattering)
     C, S = m["C"], m["S"]
     active = (setup.w > 0.0) & (S != 0.0)
     si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)

@@ -152,3 +152,13 @@ def DMc_from_GM(GM, D, a_perp):
     """
     c = 3e10 / 3.1e21
     return (GM * 2.0 * (a_perp * 4.8e-9) ** 2 / (c * D)) ** 0.5
+
+
+def calculate_TOA(epoch, P, phi, DM=0.0, nu_ref1=jnp.inf, nu_ref2=jnp.inf):
+    """TOA (an io.mjd.MJD) = epoch + phase_transform(phi)*P.
+
+    epoch is an MJD; the un-Doppler-corrected DM must be used.
+    Reference: pplib.py:2634-2648.
+    """
+    phi_prime = phase_transform(phi, DM, nu_ref1, nu_ref2, P, mod=False)
+    return epoch.add_seconds(float(phi_prime) * P)

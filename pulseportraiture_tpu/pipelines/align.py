@@ -88,7 +88,10 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
         datafiles = _resolve_datafiles(metafile)
     if initial_guess is None:
         initial_guess = datafiles[0]
-    tmpl_data = load_data(initial_guess, dededisperse=False, tscrunch=True,
+    # the template must be dedispersed (reference ppalign.py:103-106 loads
+    # the initial guess with dedisperse=True); epoch data stay in their
+    # stored state and carry DM_guess into the fit instead
+    tmpl_data = load_data(initial_guess, dedisperse=True, tscrunch=True,
                           pscrunch=True, rm_baseline=True, quiet=True)
     template = tmpl_data.subints[0, 0].copy()
     tmpl_freqs = tmpl_data.freqs[0]
@@ -147,13 +150,13 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                         nu_outs=(nu_fit, nu_fit, nu_fit),
                         errs=jnp.asarray(errs),
                         fit_flags=(1, int(fit_dm), 0, 0, 0),
-                        log10_tau=False, quiet=True)
+                        log10_tau=False, quiet=True, scattering=False)
                     phi, DM_fit = float(res.phi), float(res.DM)
                     scales = np.asarray(res.scales)
                     if float(res.snr) < SNR_cutoff:
                         continue
                 else:  # single-channel fallback (ppalign.py:196-201)
-                    phi, DM_fit = float(pg.phase), 0.0
+                    phi, DM_fit = float(pg.phase), DM_guess
                     scales = np.full(len(freqs), float(pg.scale))
                 rotated = np.asarray(rotate_data(
                     jnp.asarray(port), phi, DM_fit, P, jnp.asarray(freqs),

@@ -157,12 +157,17 @@ class GetTOAs:
         self.fit_durations = []
         self.order = []
         self.TOA_list = []
+        # instrumental response description (reference pptoas.py:146-148):
+        # DM smearing within channels plus extra response widths/types
+        self.instrumental_response_dict = self.ird = \
+            {"DM": 0.0, "wids": [], "irf_types": []}
         self.quiet = quiet
 
     def get_TOAs(self, datafile=None, tscrunch=False, nu_refs=None,
                  DM0=None, bary=True, fit_DM=True, fit_GM=False,
                  fit_scat=False, log10_tau=True, scat_guess=None,
                  fix_alpha=True, print_phase=False, print_flux=False,
+                 add_instrumental_response=False,
                  addtnl_toa_flags=None, method="trust-ncg", bounds=None,
                  nu_fits=None, show_plot=False, quiet=None):
         """The main wideband TOA driver.  Reference: pptoas.py:150-743."""
@@ -185,6 +190,7 @@ class GetTOAs:
             fit_flags = (1, int(fit_DM), int(fit_GM), 1, 0)
         else:
             fit_flags = (1, int(fit_DM), int(fit_GM), 0, 0)
+        self.log10_tau = log10_tau = log10_tau and fit_scat
 
         for idf, df in enumerate(datafiles):
             try:
@@ -222,6 +228,17 @@ class GetTOAs:
                 errs = np.where(weights > 0, errs_all, 0.0)
 
                 model = self.model_source.eval(data.phases, freqs, P)
+                if add_instrumental_response and \
+                        (self.ird["DM"] or len(self.ird["wids"])):
+                    # convolve the model with the instrumental response
+                    # (reference pptoas.py:388-394)
+                    from pulseportraiture_tpu.ops.gaussian import \
+                        instrumental_response_port_FT
+                    irf = np.asarray(instrumental_response_port_FT(
+                        nbin, jnp.asarray(freqs), self.ird["DM"], P,
+                        self.ird["wids"], self.ird["irf_types"]))
+                    model = np.fft.irfft(irf * np.fft.rfft(model, axis=-1),
+                                         n=nbin, axis=-1)
                 nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
                                               jnp.asarray(SNRsx)))
                 nu_fits_l.append(np.array([nu_fit, nu_fit, nu_fit]))
@@ -260,7 +277,8 @@ class GetTOAs:
                     jnp.asarray(freqs),
                     nu_fits=(nu_fit, nu_fit, nu_fit), nu_outs=nu_outs,
                     errs=jnp.asarray(errs), fit_flags=sub_flags,
-                    log10_tau=log10_tau, quiet=quiet)
+                    log10_tau=log10_tau, quiet=quiet,
+                    scattering=None if fit_scat else False)
                 tot_duration += duration
 
                 phi = float(res.phi)
@@ -505,6 +523,64 @@ class GetTOAs:
             wall = time.time() - start_all
             print(f"\nFit {ntoa} narrowband TOAs in {wall:.2f} s "
                   f"(~{tot_duration / ntoa:.4f} sec/TOA fit)")
+
+    def show_fit(self, datafile=None, isub=0, rotate=True, savefig=False,
+                 show=True, return_fit=False, quiet=None):
+        """Residual diagnostic for one fitted subint.
+
+        Reloads the archive, regenerates the scattered+scaled model at
+        the subint's frequencies, rotates the data by the fitted
+        (phi, DM, GM), and displays data/model/residual panels.
+        Reference: pptoas.py:1287-1419 (show_fit).
+        """
+        import jax.numpy as jnp
+        from pulseportraiture_tpu.ops.rotate import rotate_portrait_full
+        from pulseportraiture_tpu.ops.scattering import (
+            scattering_portrait_FT, scattering_times)
+
+        quiet = self.quiet if quiet is None else quiet
+        datafile = datafile or self.order[0]
+        iarch = self.order.index(datafile)
+        ii = list(self.ok_isubs[iarch]).index(isub)
+        data = load_data(datafile, dedisperse=False, dededisperse=True,
+                         pscrunch=True, rm_baseline=True, quiet=True)
+        P = data.Ps[isub]
+        freqs = data.freqs[isub]
+        port = np.array(data.subints[isub, 0])
+        model = self.model_source.eval(data.phases, freqs, P)
+        phi = self.phis[iarch][ii]
+        DM = self.DMs[iarch][ii] / data.doppler_factors[isub]
+        GM = self.GMs[iarch][ii] / data.doppler_factors[isub] ** 3
+        nu_DM, nu_GM, nu_tau = self.nu_refs[iarch][ii]
+        tau = self.taus[iarch][ii]
+        tau_lin = 10.0 ** tau if getattr(self, "log10_tau", False) else tau
+        taus = scattering_times(tau_lin, self.alphas[iarch][ii],
+                                np.asarray(freqs), nu_tau)
+        B = np.asarray(scattering_portrait_FT(jnp.asarray(taus),
+                                              data.nbin))
+        scat_model = np.fft.irfft(B * np.fft.rfft(model, axis=-1),
+                                  n=data.nbin, axis=-1)
+        scales = np.asarray(self.scales[iarch][ii])
+        scaled_model = scat_model * scales[:, None]
+        if rotate:
+            port = np.asarray(rotate_portrait_full(
+                jnp.asarray(port), phi, DM, GM, jnp.asarray(freqs),
+                nu_DM, nu_GM, P=P))
+        errs = np.where(data.weights[isub] > 0,
+                        data.noise_stds[isub, 0], 0.0)
+        fit_tuple = (port, scaled_model, data.phases, freqs, errs)
+        if show or savefig:
+            from pulseportraiture_tpu.viz import show_residual_plot
+            show_residual_plot(port, scaled_model, phases=data.phases,
+                               freqs=freqs, errs=errs,
+                               title=f"{datafile} subint {isub}",
+                               savefig=savefig, show=show)
+        if return_fit:
+            return fit_tuple
+
+    # alias matching the reference's per-subint display entry point
+    # (pptoas.py:1287)
+    show_subint = show_fit
 
     def get_channels_to_zap(self, SNR_threshold=8.0, rchi2_threshold=1.3,
                             iterate=True, show=False):

@@ -95,11 +95,12 @@ def show_stacked_profiles(port, freqs=None, spacing=None, savefig=False,
 
 
 def show_residual_plot(port, model, phases=None, freqs=None, errs=None,
-                       titles=("Data", "Model", "Residuals"),
+                       titles=("Data", "Model", "Residuals"), title=None,
                        savefig=False, show=True, **kwargs):
     """Data/model/residual panels + per-channel red-chi2 histogram.
 
-    Reference: pplib.py:3702-3823.
+    Reference: pplib.py:3702-3823.  ``title`` is an overall figure title;
+    ``titles`` label the three panels.
     """
     plt = _plt()
     port = np.asarray(port)
@@ -125,6 +126,8 @@ def show_residual_plot(port, model, phases=None, freqs=None, errs=None,
     red_chi2 = (resid ** 2).sum(axis=1) / (errs ** 2 * nbin)
     axes.flat[3].hist(red_chi2[red_chi2 > 0], bins=20, color="gray")
     axes.flat[3].set_xlabel("Channel red chi2")
+    if title:
+        fig.suptitle(title)
     return _finish(plt, fig, savefig, show)
 
 
@@ -187,3 +190,93 @@ def _finish(plt, fig, savefig, show):
             pass
     plt.close(fig)
     return fig
+
+
+class GaussianSelector:
+    """Interactive matplotlib profile-component picker.
+
+    A thin event-driven frontend over the jit Gaussian fitters,
+    replicating the reference's workflow (ppgauss.py:374-655):
+    left-click-drag adds a Gaussian at the dragged location/width,
+    middle-click runs the fit, right-click near a component removes it.
+    Close the figure to finish; the final fit is in ``self.fit``.
+    """
+
+    def __init__(self, profile, errs, fit_scattering=False, quiet=True):
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.profile = np.asarray(profile, dtype=float)
+        self.errs = errs
+        self.fit_scattering = fit_scattering
+        self.quiet = quiet
+        self.nbin = len(self.profile)
+        self.phases = (np.arange(self.nbin) + 0.5) / self.nbin
+        self.components = []  # (loc, wid, amp)
+        self.dc = float(np.median(self.profile))
+        self.fit = None
+        self._press = None
+        plt = _plt()
+        self.fig, self.ax = plt.subplots(figsize=(10, 5))
+        self.ax.plot(self.phases, self.profile, "k-", lw=1)
+        self.ax.set_xlabel("Phase [rot]")
+        self.ax.set_ylabel("Amplitude")
+        self._model_line, = self.ax.plot([], [], "r-", lw=1)
+        self.fig.canvas.mpl_connect("button_press_event", self._on_press)
+        self.fig.canvas.mpl_connect("button_release_event",
+                                    self._on_release)
+        plt.show()
+
+    def _on_press(self, event):
+        if event.inaxes != self.ax:
+            return
+        if event.button == 1:
+            self._press = (event.xdata, event.ydata)
+        elif event.button == 2:
+            self._do_fit()
+        elif event.button == 3 and self.components:
+            dists = [abs(c[0] - event.xdata) for c in self.components]
+            self.components.pop(int(np.argmin(dists)))
+            self._redraw()
+
+    def _on_release(self, event):
+        if event.inaxes != self.ax or self._press is None or \
+                event.button != 1:
+            return
+        x0, y0 = self._press
+        self._press = None
+        loc = x0
+        wid = max(abs(event.xdata - x0), 1.0 / self.nbin)
+        amp = max(y0 - self.dc, float(self.profile.max()) * 0.05)
+        self.components.append((loc, wid, amp))
+        self._redraw()
+
+    def _params(self):
+        params = [self.dc, 0.0]
+        for loc, wid, amp in self.components:
+            params += [loc, wid, amp]
+        return params
+
+    def _do_fit(self):
+        if not self.components:
+            return
+        from pulseportraiture_tpu.models.gaussian import \
+            fit_gaussian_profile
+        jnp = self._jnp
+        self.fit = fit_gaussian_profile(
+            jnp.asarray(self.profile), jnp.asarray(self._params()),
+            self.errs, fit_scattering=self.fit_scattering,
+            quiet=self.quiet)
+        p = list(self.fit.fitted_params)
+        self.dc = p[0]
+        self.components = [(p[i], p[i + 1], p[i + 2])
+                           for i in range(2, len(p) - 2, 3)]
+        self._redraw()
+
+    def _redraw(self):
+        from pulseportraiture_tpu.models.gaussian import \
+            gen_gaussian_profile
+        jnp = self._jnp
+        model = np.asarray(gen_gaussian_profile(
+            jnp.asarray(self._params()), self.nbin))
+        self._model_line.set_data(self.phases, model)
+        self.fig.canvas.draw_idle()

@@ -148,3 +148,32 @@ def test_toas_with_scattering_fit(workspace):
     assert "scat_time" in toa.flags
     assert 1.0 < toa.flags["scat_time"] < 400.0
     assert toa.flags["gof"] < 2.0
+
+
+def test_model_built_pipeline_aligned_template_is_dedispersed(workspace):
+    """ppalign -> ppspline -> pptoas: the averaged template must be
+    dedispersed (align loads the initial guess with dedisperse=True,
+    reference ppalign.py:103-106) so DeltaDMs measured against the
+    built model carry no systematic dispersion offset."""
+    ws, par, gmodel = workspace
+    files, dDMs = _make_epochs(ws, par, gmodel, nfiles=3, nsub=2,
+                               noise=0.2)
+    port_file = str(ws / "built.port")
+    align_archives(datafiles=files, initial_guess=files[0], tscrunch=True,
+                   outfile=port_file, niter=1, quiet=True)
+    from pulseportraiture_tpu.portrait import DataPortrait
+    dp = DataPortrait(port_file, quiet=True)
+    dp.normalize_portrait("prof")
+    dp.make_spline_model(max_ncomp=3, smooth=False, quiet=True)
+    spl = str(ws / "built.spl")
+    dp.write_model(spl, quiet=True)
+    gt = GetTOAs(files, spl, quiet=True)
+    gt.get_TOAs(quiet=True)
+    rec = np.asarray(gt.DeltaDM_means)
+    # no systematic dispersion offset: the mean fitted dDM must sit at the
+    # template's absorbed dDM scale (~injected mean, < 1e-3), not O(1e-2)
+    assert abs(rec.mean()) < 1.5e-3, rec
+    # relative structure tracks the injection to a few sigma
+    errs = np.asarray(gt.DeltaDM_errs) + 1e-5
+    rel = (rec - rec.mean()) - (dDMs - dDMs.mean())
+    assert np.all(np.abs(rel) < 8 * errs), (rec, dDMs, errs)

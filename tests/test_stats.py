@@ -117,7 +117,8 @@ def test_masked_channels_equal_dropped_channels():
         G=setup.G[keep], M2=setup.M2[keep], w=setup.w[keep],
         freqs=setup.freqs[keep], P=setup.P, nu_DM=setup.nu_DM,
         nu_GM=setup.nu_GM, nu_tau=setup.nu_tau,
-        Sd=jnp.asarray(0.0))  # Sd unused by value_grad_hess
+        Sd=jnp.asarray(0.0),  # Sd unused by value_grad_hess
+        S0=jnp.sum(setup.M2[keep], axis=-1))
     f1, g1, H1 = stats.chi2_value_grad_hess(PARAMS, setup_masked,
                                             log10_tau=True)
     f2, g2, H2 = stats.chi2_value_grad_hess(PARAMS, setup_dropped,
@@ -153,3 +154,35 @@ def test_woodbury_covariance_vs_dense_inverse():
     np.testing.assert_allclose(np.asarray(scale_errs),
                                np.sqrt(np.diag(dense_cov)[5:]), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(scales), r, rtol=1e-12)
+
+
+def test_no_scattering_specialization_matches_full_graph():
+    """scattering=False must equal the full path when tau == 0."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pulseportraiture_tpu.fitters import stats
+
+    rng = np.random.default_rng(3)
+    nchan, nbin = 8, 64
+    freqs = jnp.asarray(np.linspace(1100.0, 1900.0, nchan))
+    data = jnp.asarray(rng.normal(1.0, 0.3, (nchan, nbin)))
+    model = jnp.asarray(rng.normal(1.0, 0.3, (nchan, nbin)))
+    setup = stats.make_setup(data, model, jnp.full(nchan, 0.1), 0.003,
+                             freqs, 1500.0, 1500.0, 1500.0)
+    params = jnp.asarray([0.01, 1e-4, 0.0, 0.0, -4.0])
+    for ff in [(1, 1, 0, 0, 0), (1, 0, 0, 0, 0), (1, 1, 1, 0, 0)]:
+        f1, g1, H1 = stats.chi2_value_grad_hess(
+            params, setup, fit_flags=ff, log10_tau=False, scattering=True)
+        f2, g2, H2 = stats.chi2_value_grad_hess(
+            params, setup, fit_flags=ff, log10_tau=False, scattering=False)
+        np.testing.assert_allclose(float(f1), float(f2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H2),
+                                   rtol=1e-10, atol=1e-12)
+    s1, S1 = stats.get_scales(params, setup, log10_tau=False,
+                              scattering=True)
+    s2, S2 = stats.get_scales(params, setup, log10_tau=False,
+                              scattering=False)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S2), rtol=1e-12)
