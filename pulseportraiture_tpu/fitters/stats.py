@@ -41,6 +41,18 @@ TWO_PI = 2.0 * jnp.pi
 LN10 = jnp.log(10.0)
 
 
+def _use_pallas_moments():
+    """Use the fused Pallas moments kernel: on TPU by default,
+    overridable with PP_PALLAS=0/1 (decided at trace time)."""
+    import os
+
+    import jax
+    env = os.environ.get("PP_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 class FitSetup(NamedTuple):
     """Per-fit constants (precomputed once; pytree, vmappable)."""
 
@@ -149,19 +161,29 @@ def _moments(params, setup, log10_tau, order, scattering=True):
     if not scattering:
         zero2 = jnp.zeros((2,) + setup.freqs.shape, dtype=dtype)
         zero22 = jnp.zeros((2, 2) + setup.freqs.shape, dtype=dtype)
-        zr = Gr * Pr - Gi * Pi
-        zi = Gr * Pi + Gi * Pr
         out = {
             "phis": phis, "taus": jnp.zeros_like(setup.freqs),
             "dtau": zero2, "d2tau": zero22,
-            "C": w * jnp.sum(zr, axis=-1),
             "S": w * setup.S0,
         }
+        zero1 = jnp.zeros_like(setup.freqs)
+        if order == 2 and _use_pallas_moments():
+            # fused single-pass TPU kernel (ops/pallas_moments.py)
+            from pulseportraiture_tpu.ops.pallas_moments import \
+                phase_moments
+            C, Cp, Cpp = phase_moments(phis, Gr, Gi)
+            phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM,
+                                        setup.nu_GM, setup.P)
+            out.update(C=w * C, Cp=w * Cp, Cpp=w * Cpp, phis_d=phis_d,
+                       Rf=zero1, S1=zero1, If1=zero1, Rg=zero1, S2=zero1)
+            return out
+        zr = Gr * Pr - Gi * Pi
+        zi = Gr * Pi + Gi * Pr
+        out["C"] = w * jnp.sum(zr, axis=-1)
         if order == 0:
             return out
         phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM, setup.nu_GM,
                                     setup.P)
-        zero1 = jnp.zeros_like(setup.freqs)
         out.update(phis_d=phis_d, Rf=zero1, S1=zero1,
                    Cp=w * (-TWO_PI) * jnp.sum(k * zi, axis=-1))
         if order == 1:
