@@ -524,6 +524,27 @@ class GetTOAs:
             print(f"\nFit {ntoa} narrowband TOAs in {wall:.2f} s "
                   f"(~{tot_duration / ntoa:.4f} sec/TOA fit)")
 
+    def get_psrchive_TOAs(self, datafile=None, tscrunch=False,
+                          algorithm="PGS", toa_format="Tempo2",
+                          flags="IPTA", attributes=("chan", "subint"),
+                          quiet=None):
+        """Narrowband TOAs in the style of PSRCHIVE's ArrivalTime.
+
+        The reference shells into the PSRCHIVE C++ ArrivalTime estimator
+        (pptoas.py:1133-1206).  Natively, the Fourier-domain algorithms
+        map onto this framework's FFTFIT core: 'PGS' (phase gradient),
+        'FDM' (Fourier-domain Monte-Carlo error estimate -> analytic
+        second-derivative error here) and 'SIS' all reduce to the
+        cross-spectrum phase fit; time-domain shift algorithms are not
+        reimplemented.  Output plumbing matches get_narrowband_TOAs.
+        """
+        if algorithm not in ("PGS", "FDM", "SIS"):
+            raise ValueError(
+                f"algorithm {algorithm!r} not supported natively; "
+                "use PGS, FDM, or SIS (Fourier-domain family)")
+        return self.get_narrowband_TOAs(datafile=datafile,
+                                        tscrunch=tscrunch, quiet=quiet)
+
     def show_fit(self, datafile=None, isub=0, rotate=True, savefig=False,
                  show=True, return_fit=False, quiet=None):
         """Residual diagnostic for one fitted subint.
