@@ -216,6 +216,8 @@ class GetTOAs:
             ok_isubs = []
             epochs_l, MJDs_l, Ps_l = [], [], []
 
+            # ---- prep pass: per-subint model, guesses, fit inputs ----
+            preps = []
             for isub in data.ok_isubs:
                 P = data.Ps[isub]
                 freqs = data.freqs[isub]
@@ -241,7 +243,6 @@ class GetTOAs:
                                          n=nbin, axis=-1)
                 nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
                                               jnp.asarray(SNRsx)))
-                nu_fits_l.append(np.array([nu_fit, nu_fit, nu_fit]))
 
                 # initial guesses (pptoas.py:418-469)
                 rot_port = np.asarray(rotate_data(
@@ -269,16 +270,67 @@ class GetTOAs:
                 elif len(okc) == 2 and fit_flags[2]:
                     sub_flags = (1, fit_flags[1], 0, fit_flags[3],
                                  fit_flags[4])
-                init = jnp.asarray([phase_guess, DM_guess, 0.0, tau_guess,
-                                    alpha_guess])
-                nu_outs = (None, None, None) if nu_refs is None else nu_refs
-                res, duration = fit_portrait_full(
-                    jnp.asarray(port), jnp.asarray(model), init, P,
-                    jnp.asarray(freqs),
-                    nu_fits=(nu_fit, nu_fit, nu_fit), nu_outs=nu_outs,
-                    errs=jnp.asarray(errs), fit_flags=sub_flags,
-                    log10_tau=log10_tau, quiet=quiet,
+                init = np.array([phase_guess, DM_guess, 0.0, tau_guess,
+                                 alpha_guess])
+                preps.append(dict(isub=isub, P=P, freqs=freqs,
+                                  weights=weights, port=port, errs=errs,
+                                  okc=okc, model=model, nu_fit=nu_fit,
+                                  init=init, sub_flags=sub_flags))
+
+            # ---- fit pass: one batched device program when the archive
+            # is homogeneous (same freqs, no degenerate subints, default
+            # output refs); else the jit-cached per-subint fitter ----
+            batchable = (
+                len(preps) > 1 and nu_refs is None and not fit_flags[2]
+                and all(p["sub_flags"] == fit_flags for p in preps)
+                and all(np.array_equal(p["freqs"], preps[0]["freqs"])
+                        for p in preps[1:]))
+            results = {}
+            if batchable:
+                from pulseportraiture_tpu.fitters.portrait import \
+                    fit_portrait_full_batch
+                t0 = time.time()
+                bres = fit_portrait_full_batch(
+                    jnp.asarray(np.stack([p["port"] for p in preps])),
+                    jnp.asarray(np.stack([p["model"] for p in preps])),
+                    jnp.asarray(np.stack([p["init"] for p in preps])),
+                    jnp.asarray(np.array([p["P"] for p in preps])),
+                    jnp.asarray(preps[0]["freqs"]),
+                    jnp.asarray(np.stack([p["errs"] for p in preps])),
+                    nu_fits=jnp.asarray(np.array(
+                        [[p["nu_fit"]] * 3 for p in preps])),
+                    fit_flags=fit_flags, log10_tau=log10_tau,
                     scattering=None if fit_scat else False)
+                import jax
+                jax.block_until_ready(bres.params)
+                batch_dur = (time.time() - t0) / len(preps)
+                for i, p in enumerate(preps):
+                    results[p["isub"]] = (
+                        jax.tree_util.tree_map(lambda x, i=i: x[i], bres),
+                        batch_dur)
+
+            for prep in preps:
+                isub = prep["isub"]
+                P = prep["P"]
+                freqs = prep["freqs"]
+                weights = prep["weights"]
+                okc = prep["okc"]
+                model = prep["model"]
+                nu_fit = prep["nu_fit"]
+                nu_fits_l.append(np.array([nu_fit] * 3))
+                if isub in results:
+                    res, duration = results[isub]
+                else:
+                    nu_outs = (None, None, None) if nu_refs is None \
+                        else nu_refs
+                    res, duration = fit_portrait_full(
+                        jnp.asarray(prep["port"]), jnp.asarray(model),
+                        jnp.asarray(prep["init"]), P, jnp.asarray(freqs),
+                        nu_fits=(nu_fit, nu_fit, nu_fit), nu_outs=nu_outs,
+                        errs=jnp.asarray(prep["errs"]),
+                        fit_flags=prep["sub_flags"],
+                        log10_tau=log10_tau, quiet=quiet,
+                        scattering=None if fit_scat else False)
                 tot_duration += duration
 
                 phi = float(res.phi)
