@@ -140,7 +140,15 @@ class Archive:
         csum = np.cumsum(np.concatenate([self.data, self.data[..., :wlen]],
                                         axis=-1), axis=-1)
         wmean = (csum[..., wlen:] - csum[..., :-wlen]) / wlen
-        imin = np.argmin(wmean, axis=-1)
+        # select the window on a further-smoothed curve (PSRCHIVE smooths
+        # before taking the minimum): choosing the raw minimum of noisy
+        # window means biases the baseline low by ~sqrt(2 ln n)/sqrt(wlen)
+        # sigma; double smoothing cuts that ~4x while the subtracted value
+        # stays the unsmoothed window mean.
+        c2 = np.cumsum(np.concatenate([wmean, wmean[..., :wlen]], axis=-1),
+                       axis=-1)
+        sel = (c2[..., wlen:] - c2[..., :-wlen]) / wlen
+        imin = np.argmin(sel, axis=-1)
         base = np.take_along_axis(wmean, imin[..., None], axis=-1)
         self.data = self.data - base
 

@@ -662,15 +662,53 @@ class GetTOAs:
         Requires per-channel red-chi2 from the stored fits; returns and
         stores zap_channels per archive/subint.
         """
+        from pulseportraiture_tpu.ops.noise import get_red_chi2
+
         self.zap_channels = []
+        self.channel_red_chi2s = []
         for iarch, df in enumerate(self.order):
             arch_zaps = []
+            arch_rchi2s = []
             for ii, isub in enumerate(self.ok_isubs[iarch]):
+                port, scaled_model, _, freqs, errs = self.show_fit(
+                    datafile=df, isub=isub, rotate=True, show=False,
+                    return_fit=True, quiet=True)
+                okc = np.where(errs > 0)[0]
                 chan_snrs = self.channel_snrs[iarch][ii]
-                nchx = max((chan_snrs > 0).sum(), 1)
-                channel_SNR_threshold = (SNR_threshold ** 2 / nchx) ** 0.5
-                zap = list(np.where((chan_snrs < channel_SNR_threshold) &
-                                    (chan_snrs > 0))[0])
-                arch_zaps.append(zap)
+                thresh = (SNR_threshold ** 2 / max(len(okc), 1)) ** 0.5
+                bad = []
+                rchi2s = []
+                for ichan in okc:
+                    rc = float(get_red_chi2(port[ichan],
+                                            scaled_model[ichan],
+                                            errs=errs[ichan],
+                                            dof=port.shape[1] - 2))
+                    rchi2s.append(rc)
+                    if rc > rchi2_threshold or np.isnan(rc):
+                        bad.append(int(ichan))
+                    elif SNR_threshold and chan_snrs[ichan] < thresh:
+                        bad.append(int(ichan))
+                if iterate and SNR_threshold and bad:
+                    # recompute the effective threshold as channels drop
+                    # (reference pptoas.py:1260-1276)
+                    old_len = len(bad)
+                    added = True
+                    while added and (len(okc) - len(bad)):
+                        thresh = (SNR_threshold ** 2 /
+                                  (len(okc) - len(bad))) ** 0.5
+                        for ichan in okc:
+                            if int(ichan) in bad:
+                                continue
+                            if chan_snrs[ichan] < thresh:
+                                bad.append(int(ichan))
+                        added = len(bad) > old_len
+                        old_len = len(bad)
+                arch_rchi2s.append(rchi2s)
+                arch_zaps.append(sorted(bad))
+                if show and bad:
+                    from pulseportraiture_tpu.viz import show_portrait
+                    show_portrait(port, title=f"{df} subint {isub} "
+                                  f"bad chans: {bad}")
             self.zap_channels.append(arch_zaps)
+            self.channel_red_chi2s.append(arch_rchi2s)
         return self.zap_channels
