@@ -27,6 +27,9 @@ def build_parser():
                    help="time-scrunch archives before aligning")
     p.add_argument("-D", "--phase_only", action="store_true",
                    help="fit phase only (no DM)")
+    p.add_argument("-p", "--stokes", action="store_true",
+                   help="average all four Stokes polarizations "
+                        "(alignment still uses total intensity)")
     p.add_argument("-C", "--snr_cutoff", type=float, default=0.0,
                    help="skip subints below this S/N")
     p.add_argument("-N", "--norm", default=None,
@@ -56,6 +59,7 @@ def main(argv=None):
     align_archives(
         metafile=args.metafile, datafiles=args.datafiles,
         initial_guess=args.init, tscrunch=args.tscrunch,
+        pscrunch=not args.stokes,
         outfile=args.outfile, norm=args.norm,
         fit_dm=not args.phase_only, niter=args.niter,
         SNR_cutoff=args.snr_cutoff, place=args.place,

@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("-j", "--joinfile", default=None,
                    help="join-parameter file for metafile inputs")
     p.add_argument("-m", "--model_name", default=None)
+    p.add_argument("-e", "--errfile", action="store_true",
+                   help="also write parameter uncertainties to "
+                        "<outfile>.errs")
     p.add_argument("--nu_ref", type=float, default=None,
                    help="model reference frequency [MHz]")
     p.add_argument("--bw", type=float, default=None,
@@ -78,7 +81,8 @@ def main(argv=None):
         fixscat=not args.fitscat, fixalpha=not args.fitalpha,
         fiducial_gaussian=args.fiducial_gaussian,
         ngauss=args.ngauss, niter=args.niter,
-        outfile=args.outfile, model_name=args.model_name,
+        outfile=args.outfile, writeerrfile=args.errfile,
+        model_name=args.model_name,
         nu_ref=args.nu_ref,
         model_code=args.mcode or DEFAULT_MODEL_CODE,
         tau=tau_bins, quiet=args.quiet)

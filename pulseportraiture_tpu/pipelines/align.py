@@ -97,19 +97,24 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
     tmpl_freqs = tmpl_data.freqs[0]
     nchan_t, nbin = template.shape
 
+    npol_out = 1 if pscrunch else 4
     load_cache = []
     for f in datafiles:
         try:
             load_cache.append(load_data(f, dededisperse=False,
-                                        tscrunch=tscrunch, pscrunch=True,
+                                        tscrunch=tscrunch,
+                                        pscrunch=pscrunch,
                                         rm_baseline=True, quiet=True))
         except (OSError, ValueError, KeyError) as exc:
             print(f"Skipping {f}: {exc}")
 
     for it in range(niter):
-        aligned = np.zeros_like(template)
+        aligned = np.zeros((npol_out,) + template.shape)
         wsum = np.zeros(nchan_t)
         for data in load_cache:
+            if data.subints.shape[1] < npol_out:
+                print(f"{data.source}: npol < {npol_out}; skipping")
+                continue
             for isub in data.ok_isubs:
                 P = data.Ps[isub]
                 freqs = data.freqs[isub]
@@ -158,39 +163,47 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                 else:  # single-channel fallback (ppalign.py:196-201)
                     phi, DM_fit = float(pg.phase), DM_guess
                     scales = np.full(len(freqs), float(pg.scale))
-                rotated = np.asarray(rotate_data(
-                    jnp.asarray(port), phi, DM_fit, P, jnp.asarray(freqs),
-                    nu_fit))
                 w = np.where(errs > 0, scales / np.where(errs > 0, errs,
                                                          1.0) ** 2, 0.0)
-                aligned += rotated * w[:, None]
+                for ipol in range(npol_out):
+                    rotated = np.asarray(rotate_data(
+                        jnp.asarray(data.subints[isub, ipol]), phi,
+                        DM_fit, P, jnp.asarray(freqs), nu_fit))
+                    aligned[ipol] += rotated * w[:, None]
                 wsum += w
-        template = aligned / np.where(wsum > 0, wsum, 1.0)[:, None]
+        aligned = aligned / np.where(wsum > 0, wsum, 1.0)[None, :, None]
+        template = aligned[0]
 
     if norm is not None:
+        # normalization factors come from total intensity and apply to
+        # every polarization
         from pulseportraiture_tpu.ops.normalize import normalize_portrait
-        template = np.asarray(normalize_portrait(jnp.asarray(template),
-                                                 method=norm))
+        _, norms = normalize_portrait(jnp.asarray(aligned[0]), method=norm,
+                                      return_norms=True)
+        norms = np.where(np.asarray(norms) != 0.0, np.asarray(norms), 1.0)
+        aligned = aligned / norms[None, :, None]
     if rot_phase:
-        template = np.asarray(rotate_portrait(jnp.asarray(template),
-                                              rot_phase))
+        aligned = np.stack([np.asarray(rotate_portrait(
+            jnp.asarray(p), rot_phase)) for p in aligned])
     if place is not None:
         # rotate the peak to a chosen phase via a narrow-Gaussian fit
         # (ppalign.py:222-226)
         from pulseportraiture_tpu.ops.gaussian import gaussian_profile
-        mean_prof = template.mean(0)
+        mean_prof = aligned[0].mean(0)
         narrow = np.asarray(gaussian_profile(nbin, place, 0.01))
         pg = fit_phase_shift(jnp.asarray(mean_prof), jnp.asarray(narrow),
                              Ns=nbin)
-        template = np.asarray(rotate_portrait(jnp.asarray(template),
-                                              float(pg.phase)))
+        aligned = np.stack([np.asarray(rotate_portrait(
+            jnp.asarray(p), float(pg.phase))) for p in aligned])
     if smooth:
         from pulseportraiture_tpu.models.wavelet import smart_smooth
-        template = np.asarray(smart_smooth(template))
+        aligned = np.stack([np.asarray(smart_smooth(p)) for p in aligned])
 
     # unload with DM=0 and 0/1 weights (ppalign.py:227-243)
     arch = tmpl_data.arch.copy()
+    if npol_out == 4:
+        arch.state = "Stokes"
     weights_out = (wsum > 0).astype(float)[None]
-    unload_new_archive(template[None, None], arch, outfile, DM=0.0, dmc=0,
+    unload_new_archive(aligned[None], arch, outfile, DM=0.0, dmc=0,
                        weights=weights_out, quiet=quiet)
     return outfile

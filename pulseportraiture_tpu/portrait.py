@@ -470,7 +470,8 @@ class DataPortrait:
                             fixloc=False, fixwid=False, fixamp=False,
                             fixscat=True, fixalpha=True,
                             fiducial_gaussian=False, ngauss=1, niter=0,
-                            writemodel=True, outfile=None,
+                            writemodel=True, writeerrfile=False,
+                            outfile=None,
                             model_name=None, nu_ref=None,
                             model_code=DEFAULT_MODEL_CODE,
                             scattering_index=SCATTERING_ALPHA, tau=0.0,
@@ -583,6 +584,12 @@ class DataPortrait:
         self.scattering_index = scattering_index
         self.nu_ref_gauss = nu_ref
         self.gauss_fit_results = results
+        if writeerrfile:
+            # parameter uncertainties in .gmodel layout (ppgauss.py:356-372)
+            self._write_gmodel(outfile + ".errs", model_code, nu_ref,
+                               np.asarray(results.fit_errs), fit_flags,
+                               results.scattering_index_err, not fixalpha,
+                               quiet=True, mod_locs=False)
         if not quiet:
             print(f"Gaussian model fit took {time.time() - start:.1f} s; "
                   f"red_chi2 = {results.red_chi2:.3f}")
@@ -608,12 +615,13 @@ class DataPortrait:
         return converged, dphi, dDM
 
     def _write_gmodel(self, outfile, model_code, nu_ref, params, fit_flags,
-                      alpha, fit_alpha, quiet=True):
+                      alpha, fit_alpha, quiet=True, mod_locs=True):
         """tau bins -> seconds conversion + write (ppgauss.py:336-354)."""
         from pulseportraiture_tpu.models.gmodel_io import write_model
         p = np.array(params, dtype=float)
         p[1] *= self.Ps[0] / self.nbin  # bins -> seconds
-        p[2::6] %= 1.0                  # locs mod 1
+        if mod_locs:
+            p[2::6] %= 1.0              # locs mod 1 (not for error files)
         write_model(outfile, self.model_name, model_code, nu_ref, p,
                     [int(f) for f in fit_flags], alpha, int(fit_alpha),
                     quiet=quiet)
