@@ -25,6 +25,17 @@ REPS = int(os.environ.get("PP_BENCH_REPS", 3))
 
 def main():
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the XLA
+    # compile (first TPU compile of the batched fitter is tens of seconds)
+    cache_dir = os.environ.get("PP_JAX_CACHE",
+                               "/tmp/pp_jax_compilation_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
 

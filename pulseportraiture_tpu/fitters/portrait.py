@@ -135,7 +135,7 @@ def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
     snr = jnp.sqrt(jnp.sum(channel_snrs ** 2))
     chi2 = setup_out.Sd + fun
     active = setup_out.w > 0.0
-    nbin_eff = 2 * (setup_out.G.shape[-1] - 1)
+    nbin_eff = 2 * (setup_out.Gr.shape[-1] - 1)
     nfit = sum(int(bool(f)) for f in fit_flags)
     dof = jnp.sum(active) * nbin_eff - (nfit + jnp.sum(active))
     red_chi2 = chi2 / dof

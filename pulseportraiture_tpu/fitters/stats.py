@@ -56,7 +56,10 @@ def _use_pallas_moments():
 class FitSetup(NamedTuple):
     """Per-fit constants (precomputed once; pytree, vmappable)."""
 
-    G: jnp.ndarray      # (nchan, nharm) complex: dFT * conj(mFT)
+    Gr: jnp.ndarray     # (nchan, nharm) real: Re[dFT * conj(mFT)]
+    Gi: jnp.ndarray     # (nchan, nharm) real: Im[dFT * conj(mFT)]
+                        # (split storage: no complex arrays on the TPU
+                        # hot path — friendlier layouts, same math)
     M2: jnp.ndarray     # (nchan, nharm) real: |mFT|**2
     w: jnp.ndarray      # (nchan,) real: 1/errs_FT**2, 0 for dead channels
     freqs: jnp.ndarray  # (nchan,) [MHz]
@@ -83,24 +86,30 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     model_port = jnp.asarray(model_port)
     nbin = data_port.shape[-1]
     if fft_matmul:
-        from pulseportraiture_tpu.ops.fourier import rfft_matmul
-        dFT = rfft_matmul(data_port)
-        mFT = rfft_matmul(model_port)
+        from pulseportraiture_tpu.ops.fourier import rfft_matmul_ri
+        dr, di = rfft_matmul_ri(data_port)
+        mr, mi = rfft_matmul_ri(model_port)
     else:
         dFT = jnp.fft.rfft(data_port, axis=-1)
         mFT = jnp.fft.rfft(model_port, axis=-1)
+        dr, di = dFT.real, dFT.imag
+        mr, mi = mFT.real, mFT.imag
     if not f0_fact:
-        dFT = dFT.at[..., 0].set(0.0)
-        mFT = mFT.at[..., 0].set(0.0)
+        dr = dr.at[..., 0].set(0.0)
+        di = di.at[..., 0].set(0.0)
+        mr = mr.at[..., 0].set(0.0)
+        mi = mi.at[..., 0].set(0.0)
     errs_FT = jnp.asarray(errs) * jnp.sqrt(nbin / 2.0)
     w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
     if weights is not None:
         w = w * (jnp.asarray(weights) > 0.0)
-    G = dFT * jnp.conj(mFT)
-    M2 = jnp.abs(mFT) ** 2
-    Sd = jnp.sum(w * jnp.sum(jnp.abs(dFT) ** 2, axis=-1))
+    # G = dFT * conj(mFT), stored as split real/imag
+    Gr = dr * mr + di * mi
+    Gi = di * mr - dr * mi
+    M2 = mr * mr + mi * mi
+    Sd = jnp.sum(w * jnp.sum(dr * dr + di * di, axis=-1))
     S0 = jnp.sum(M2, axis=-1)
-    return FitSetup(G=G, M2=M2, w=w, freqs=jnp.asarray(freqs),
+    return FitSetup(Gr=Gr, Gi=Gi, M2=M2, w=w, freqs=jnp.asarray(freqs),
                     P=jnp.asarray(P), nu_DM=jnp.asarray(nu_DM),
                     nu_GM=jnp.asarray(nu_GM), nu_tau=jnp.asarray(nu_tau),
                     Sd=jnp.asarray(Sd), S0=S0)
@@ -147,16 +156,15 @@ def _moments(params, setup, log10_tau, order, scattering=True):
     XLA compile time and the per-iteration HBM traffic.
     Returns a dict of per-channel reductions.
     """
-    G, M2, w = setup.G, setup.M2, setup.w
-    nharm = G.shape[-1]
-    dtype = G.real.dtype
+    Gr, Gi, M2, w = setup.Gr, setup.Gi, setup.M2, setup.w
+    nharm = Gr.shape[-1]
+    dtype = Gr.dtype
     k = jnp.arange(nharm, dtype=dtype)
 
     phis = phase_shifts(params[0], params[1], params[2], setup.freqs,
                         setup.nu_DM, setup.nu_GM, setup.P, mod=False)
     ang = TWO_PI * phis[..., None] * k
     Pr, Pi = jnp.cos(ang), jnp.sin(ang)
-    Gr, Gi = G.real, G.imag
 
     if not scattering:
         zero2 = jnp.zeros((2,) + setup.freqs.shape, dtype=dtype)

@@ -61,3 +61,17 @@ def irfft_matmul(X, n=None, axis=-1):
     x = jnp.matmul(re_w, cos_m.T, preferred_element_type=re.dtype) - \
         jnp.matmul(im_w, sin_m.T, preferred_element_type=re.dtype)
     return x * (2.0 / nbin)
+
+
+def rfft_matmul_ri(x, axis=-1):
+    """rfft via MXU matmuls, returned as a (real, imag) pair.
+
+    Split-real form: no complex arrays are materialized (TPU-friendly
+    layouts for the downstream split-real fit setup).
+    """
+    assert axis in (-1, x.ndim - 1)
+    nbin = x.shape[-1]
+    cos_m, sin_m = _dft_mats(nbin, str(x.dtype))
+    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype)
+    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype)
+    return re, im

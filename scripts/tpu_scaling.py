@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""TPU scaling sweep for the batched wideband fitter.
+
+Runs (nchan, nbin) points of the (phi, DM) batched fit with walltime
+split into compile vs run, exercising the fft_matmul and Pallas paths.
+Usage: python scripts/tpu_scaling.py [--points small|full] [--pallas 0|1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--points", default="small", choices=["small", "full"])
+ap.add_argument("--pallas", default=None)
+ap.add_argument("--batch", type=int, default=4)
+ap.add_argument("--platform", default=None)
+args = ap.parse_args()
+if args.pallas is not None:
+    os.environ["PP_PALLAS"] = args.pallas
+
+import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/pp_jax_compilation_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
+
+print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+POINTS = {
+    "small": [(64, 256), (256, 512), (512, 1024)],
+    "full": [(64, 256), (256, 512), (512, 1024), (1024, 1024),
+             (2048, 2048), (4096, 2048)],
+}[args.points]
+
+B = args.batch
+rng = np.random.default_rng(0)
+for nchan, nbin in POINTS:
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    x = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((x - 0.4) / 0.02) ** 2)
+    model = (prof[None] * (freqs[:, None] / 1500.0) ** -1.5).astype(
+        np.float32)
+    data = (np.broadcast_to(model, (B, nchan, nbin)) +
+            rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    argsj = (jnp.asarray(data),
+             jnp.asarray(np.broadcast_to(model, (B, nchan, nbin))),
+             jnp.zeros((B, 5), jnp.float32), jnp.full(B, 0.003, jnp.float32),
+             jnp.asarray(freqs, jnp.float32),
+             jnp.full((B, nchan), 0.1, jnp.float32))
+    t0 = time.time()
+    try:
+        res = fit_portrait_full_batch(*argsj, fit_flags=(1, 1, 0, 0, 0),
+                                      log10_tau=False, max_iter=30,
+                                      fft_matmul=True, scattering=False)
+        jax.block_until_ready(res.params)
+        t_compile = time.time() - t0
+        t0 = time.time()
+        res = fit_portrait_full_batch(*argsj, fit_flags=(1, 1, 0, 0, 0),
+                                      log10_tau=False, max_iter=30,
+                                      fft_matmul=True, scattering=False)
+        jax.block_until_ready(res.params)
+        t_run = time.time() - t0
+        print(f"{nchan:5d}ch x {nbin:5d}bin: compile+run {t_compile:7.2f}s "
+              f"run {t_run:7.4f}s -> {B / t_run:9.1f} fits/s  "
+              f"niter={float(np.asarray(res.niter).mean()):.1f}", flush=True)
+    except Exception as e:
+        print(f"{nchan:5d}ch x {nbin:5d}bin: FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)

@@ -41,7 +41,7 @@ def numpy_chi2_prime(params, setup, log10_tau=True):
     """Direct numpy transcription of pptoaslib.py:525-542."""
     phi, DM, GM, x_tau, alpha = params
     tau = 10 ** x_tau if log10_tau else x_tau
-    G = np.asarray(setup.G)
+    G = np.asarray(setup.Gr) + 1j * np.asarray(setup.Gi)
     M2 = np.asarray(setup.M2)
     w = np.asarray(setup.w)
     freqs = np.asarray(setup.freqs)
@@ -114,7 +114,8 @@ def test_masked_channels_equal_dropped_channels():
     setup_masked = setup._replace(w=jnp.asarray(w))
     keep = np.asarray([i for i in range(16) if i not in (2, 5, 11, 13)])
     setup_dropped = stats.FitSetup(
-        G=setup.G[keep], M2=setup.M2[keep], w=setup.w[keep],
+        Gr=setup.Gr[keep], Gi=setup.Gi[keep],
+        M2=setup.M2[keep], w=setup.w[keep],
         freqs=setup.freqs[keep], P=setup.P, nu_DM=setup.nu_DM,
         nu_GM=setup.nu_GM, nu_tau=setup.nu_tau,
         Sd=jnp.asarray(0.0),  # Sd unused by value_grad_hess
