@@ -33,11 +33,20 @@ class NewtonResult(NamedTuple):
 
 
 def _tr_solve(g, H, radius):
-    """Exact trust-region step: argmin g.p + 0.5 p H p, |p| <= radius."""
+    """Exact trust-region step: argmin g.p + 0.5 p H p, |p| <= radius.
+
+    The subproblem is solved on a scale-normalized copy (H/s, g/s with
+    s = max|H|): the minimizer is identical and the Moré–Sorensen
+    iteration stays conditioned for float32 objectives whose raw chi^2
+    curvatures reach ~1e13.
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(H)), jnp.asarray(1.0, H.dtype))
+    g = g / s
+    H = H / s
     lam, V = jnp.linalg.eigh(H)
     gt = V.T @ g
     lam_min = lam[0]
-    eps = jnp.asarray(1e-12, dtype=g.dtype)
+    eps = jnp.asarray(10.0, g.dtype) * jnp.finfo(g.dtype).eps
 
     def p_of(mu):
         return gt / (lam + mu)
@@ -100,6 +109,11 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
                 it=jnp.asarray(0), nfev=jnp.asarray(1),
                 status=jnp.asarray(3), done=jnp.asarray(False))
 
+    g0norm = jnp.sqrt(jnp.sum(g0 ** 2))
+    # dtype-aware relative gradient stop (f32 objectives cannot reach the
+    # absolute f64-calibrated gtol)
+    gtol_rel = 100.0 * jnp.finfo(dtype).eps
+
     def cond(st):
         return (~st.done) & (st.it < max_iter)
 
@@ -121,7 +135,7 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         g = jnp.where(accept, g_new, st.g)
         H = jnp.where(accept, H_new, st.H)
         gnorm = jnp.sqrt(jnp.sum(g ** 2))
-        gconv = gnorm < gtol
+        gconv = (gnorm < gtol) | (gnorm < gtol_rel * g0norm)
         xconv = accept & (pnorm < xtol)
         fconv = accept & (ftol > 0.0) & (actual < ftol * jnp.maximum(
             jnp.abs(st.f), 1.0))

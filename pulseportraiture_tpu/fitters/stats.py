@@ -109,10 +109,13 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     M2 = mr * mr + mi * mi
     Sd = jnp.sum(w * jnp.sum(dr * dr + di * di, axis=-1))
     S0 = jnp.sum(M2, axis=-1)
-    return FitSetup(Gr=Gr, Gi=Gi, M2=M2, w=w, freqs=jnp.asarray(freqs),
-                    P=jnp.asarray(P), nu_DM=jnp.asarray(nu_DM),
-                    nu_GM=jnp.asarray(nu_GM), nu_tau=jnp.asarray(nu_tau),
-                    Sd=jnp.asarray(Sd), S0=S0)
+    dt = data_port.dtype
+    return FitSetup(Gr=Gr, Gi=Gi, M2=M2, w=w,
+                    freqs=jnp.asarray(freqs, dt),
+                    P=jnp.asarray(P, dt), nu_DM=jnp.asarray(nu_DM, dt),
+                    nu_GM=jnp.asarray(nu_GM, dt),
+                    nu_tau=jnp.asarray(nu_tau, dt),
+                    Sd=jnp.asarray(Sd, dt), S0=S0)
 
 
 def _taus_and_derivs(params, setup, log10_tau):
@@ -144,6 +147,28 @@ def _taus_and_derivs(params, setup, log10_tau):
     return taus, dtau, d2tau
 
 
+
+def _phase_trig(phis, k):
+    """cos/sin(2 pi phis k), precise in float32 via double-single.
+
+    Naive f32 evaluation of 2 pi phi k loses ~1e-5 rot at k ~ 2000.  For
+    f32: wrap phi to [-0.5, 0.5], split into a 13-bit hi (hi*k is exact
+    in f32 for k < 2^11) plus a small lo; reduce hi*k mod 1 exactly and
+    add lo*k, leaving ~1e-7 rad argument error.  f64 inputs use the
+    plain product.
+    """
+    if phis.dtype == jnp.float64:
+        ang = TWO_PI * phis[..., None] * k
+        return jnp.cos(ang), jnp.sin(ang)
+    p = phis - jnp.round(phis)
+    hi = jnp.round(p * 8192.0) / 8192.0
+    lo = p - hi
+    prod = hi[..., None] * k
+    frac = prod - jnp.round(prod)
+    ang = TWO_PI * (frac + lo[..., None] * k)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
 def _moments(params, setup, log10_tau, order, scattering=True):
     """Shared harmonic reductions for value/grad/hess.
 
@@ -163,8 +188,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
 
     phis = phase_shifts(params[0], params[1], params[2], setup.freqs,
                         setup.nu_DM, setup.nu_GM, setup.P, mod=False)
-    ang = TWO_PI * phis[..., None] * k
-    Pr, Pi = jnp.cos(ang), jnp.sin(ang)
+    Pr, Pi = _phase_trig(phis, k)
 
     if not scattering:
         zero2 = jnp.zeros((2,) + setup.freqs.shape, dtype=dtype)

@@ -39,7 +39,13 @@ def _kernel(phis_ref, gr_ref, gi_ref, out_ref):
     gi = gi_ref[:]
     nharm = gr.shape[-1]
     k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
-    ang = (TWO_PI * phis) * k               # (CBLK, nharm)
+    # double-single phase product (see fitters.stats._phase_trig)
+    p = phis - jnp.round(phis)
+    hi = jnp.round(p * 8192.0) / 8192.0
+    lo = p - hi
+    prod = hi * k
+    frac = prod - jnp.round(prod)
+    ang = TWO_PI * (frac + lo * k)          # (CBLK, nharm)
     c = jnp.cos(ang)
     s = jnp.sin(ang)
     zr = gr * c - gi * s                    # Re(G e^{i ang})
@@ -105,10 +111,10 @@ def phase_moments(phis, Gr, Gi, interpret=None):
 
 def phase_moments_reference(phis, Gr, Gi):
     """Pure-jnp reference implementation (for tests and CPU)."""
+    from pulseportraiture_tpu.fitters.stats import _phase_trig
     nharm = Gr.shape[-1]
     k = jnp.arange(nharm, dtype=Gr.dtype)
-    ang = TWO_PI * phis[..., None] * k
-    c, s = jnp.cos(ang), jnp.sin(ang)
+    c, s = _phase_trig(phis, k)
     zr = Gr * c - Gi * s
     zi = Gr * s + Gi * c
     C = jnp.sum(zr, axis=-1)

@@ -147,3 +147,30 @@ def add_DM_nu(port, phase=0.0, DM=None, P=None, freqs=None, xs=(-2.0,),
         freq_term = freq_term + C * (freqs ** x - ref_term)
     phis = phase + D * freq_term
     return jnp.fft.irfft(pFFT * phasor(phis, nharm), n=nbin, axis=-1)
+
+
+def rotate_portrait_np(port, phase=0.0, DM=0.0, P=None, freqs=None,
+                       nu_ref=float("inf"), dconst=DCONST):
+    """Host-side float64 mirror of rotate_portrait (numpy).
+
+    Used by the pipelines for precision-critical base rotations: on the
+    float32 TPU path the fit solves for a small residual (phi, dDM)
+    around a baseline dispersion that is removed here at full float64
+    precision, so phases of many turns never enter the f32 graph.
+    """
+    import numpy as np
+    port = np.asarray(port, dtype=np.float64)
+    nbin = port.shape[-1]
+    pFFT = np.fft.rfft(port, axis=-1)
+    k = np.arange(pFFT.shape[-1])
+    if P is not None and freqs is not None:
+        D = dconst * DM / P
+        inv2 = np.where(np.isinf(freqs), 0.0, np.asarray(freqs,
+                                                         np.float64)) ** -2.0
+        inv2 = np.where(np.isinf(freqs), 0.0, inv2)
+        ref2 = 0.0 if np.isinf(nu_ref) else float(nu_ref) ** -2.0
+        phis = phase + D * (inv2 - ref2)
+    else:
+        phis = np.full(port.shape[-2], float(phase))
+    ramp = np.exp(2.0j * np.pi * np.outer(phis, k))
+    return np.fft.irfft(pFFT * ramp, n=nbin, axis=-1)

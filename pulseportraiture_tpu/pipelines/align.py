@@ -80,7 +80,8 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
     import jax.numpy as jnp
     from pulseportraiture_tpu.fitters.phase_shift import fit_phase_shift
     from pulseportraiture_tpu.fitters.portrait import fit_portrait_full
-    from pulseportraiture_tpu.ops.rotate import rotate_data, rotate_portrait
+    from pulseportraiture_tpu.ops.rotate import (rotate_portrait,
+        rotate_portrait_np)
     from pulseportraiture_tpu.ops.transform import guess_fit_freq
     from pulseportraiture_tpu.pipelines.toas import _resolve_datafiles
 
@@ -138,17 +139,19 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                 nu_fit = float(guess_fit_freq(
                     jnp.asarray(freqs[okc]),
                     jnp.asarray(data.SNRs[isub, 0][okc])))
-                rot_port = np.asarray(rotate_data(
-                    jnp.asarray(port), 0.0, DM_guess, P,
-                    jnp.asarray(freqs), nu_fit))
-                mean_prof = rot_port[okc].mean(0)
+                # base rotation at host float64: the device fit solves a
+                # small residual dDM around the header DM (see
+                # pipelines/toas.py for the precision rationale)
+                port_fit = rotate_portrait_np(port, 0.0, DM_guess, P,
+                                              freqs, nu_fit)
+                mean_prof = port_fit[okc].mean(0)
                 pg = fit_phase_shift(jnp.asarray(mean_prof),
                                      jnp.asarray(model[okc].mean(0)),
                                      Ns=nbin)
                 if len(okc) > 1:
                     res, _ = fit_portrait_full(
-                        jnp.asarray(port), jnp.asarray(model),
-                        jnp.asarray([float(pg.phase), DM_guess, 0.0, 0.0,
+                        jnp.asarray(port_fit), jnp.asarray(model),
+                        jnp.asarray([float(pg.phase), 0.0, 0.0, 0.0,
                                      0.0]),
                         P, jnp.asarray(freqs),
                         nu_fits=(nu_fit, nu_fit, nu_fit),
@@ -156,19 +159,27 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                         errs=jnp.asarray(errs),
                         fit_flags=(1, int(fit_dm), 0, 0, 0),
                         log10_tau=False, quiet=True, scattering=False)
-                    phi, DM_fit = float(res.phi), float(res.DM)
+                    phi, dDM_fit = float(res.phi), float(res.DM)
                     scales = np.asarray(res.scales)
                     if float(res.snr) < SNR_cutoff:
                         continue
                 else:  # single-channel fallback (ppalign.py:196-201)
-                    phi, DM_fit = float(pg.phase), DM_guess
+                    phi, dDM_fit = float(pg.phase), 0.0
                     scales = np.full(len(freqs), float(pg.scale))
                 w = np.where(errs > 0, scales / np.where(errs > 0, errs,
                                                          1.0) ** 2, 0.0)
                 for ipol in range(npol_out):
-                    rotated = np.asarray(rotate_data(
-                        jnp.asarray(data.subints[isub, ipol]), phi,
-                        DM_fit, P, jnp.asarray(freqs), nu_fit))
+                    # rotate base-rotated data by the small residual:
+                    # equals rotating the original by the full
+                    # (phi, DM_guess + dDM) at nu_fit, at f64 precision
+                    if ipol == 0:
+                        pol_base = port_fit
+                    else:
+                        pol_base = rotate_portrait_np(
+                            data.subints[isub, ipol], 0.0, DM_guess, P,
+                            freqs, nu_fit)
+                    rotated = rotate_portrait_np(pol_base, phi, dDM_fit,
+                                                 P, freqs, nu_fit)
                     aligned[ipol] += rotated * w[:, None]
                 wsum += w
         aligned = aligned / np.where(wsum > 0, wsum, 1.0)[None, :, None]

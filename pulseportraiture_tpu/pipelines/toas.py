@@ -174,7 +174,7 @@ class GetTOAs:
         import jax.numpy as jnp
         from pulseportraiture_tpu.fitters.phase_shift import fit_phase_shift
         from pulseportraiture_tpu.fitters.portrait import fit_portrait_full
-        from pulseportraiture_tpu.ops.rotate import rotate_data
+        from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
         from pulseportraiture_tpu.ops.transform import guess_fit_freq
 
         quiet = self.quiet if quiet is None else quiet
@@ -244,16 +244,23 @@ class GetTOAs:
                 nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
                                               jnp.asarray(SNRsx)))
 
+                # base rotation: remove the header-DM dispersion at full
+                # float64 precision on the host, so the device fit solves
+                # for a small residual dDM (phases of many turns never
+                # enter the float32 graph; TPU fits stay at the <1e-9
+                # parity budget).  The rotation is anchored at nu_fit, so
+                # phi at nu_fit is unchanged.
+                DM_base = DM0_arch
+                port_fit = rotate_portrait_np(port, 0.0, DM_base, P,
+                                              freqs, nu_fit)
+
                 # initial guesses (pptoas.py:418-469)
-                rot_port = np.asarray(rotate_data(
-                    jnp.asarray(port), 0.0, DM0_arch, P,
-                    jnp.asarray(freqs), nu_fit))
-                mean_prof = (rot_port[okc] * weights[okc][:, None]).mean(0)
+                mean_prof = (port_fit[okc] * weights[okc][:, None]).mean(0)
                 mean_model = model[okc].mean(0)
                 pguess = fit_phase_shift(jnp.asarray(mean_prof),
                                          jnp.asarray(mean_model), Ns=100)
                 phase_guess = float(pguess.phase)
-                DM_guess = DM0_arch
+                DM_guess = 0.0  # residual around DM_base
                 sg = scat_guess if scat_guess is not None else \
                     _DEFAULT_SCAT_GUESS
                 tau_guess_rot = (sg[0] / P) * (nu_fit / sg[1]) ** sg[2]
@@ -273,9 +280,10 @@ class GetTOAs:
                 init = np.array([phase_guess, DM_guess, 0.0, tau_guess,
                                  alpha_guess])
                 preps.append(dict(isub=isub, P=P, freqs=freqs,
-                                  weights=weights, port=port, errs=errs,
-                                  okc=okc, model=model, nu_fit=nu_fit,
-                                  init=init, sub_flags=sub_flags))
+                                  weights=weights, port=port_fit,
+                                  errs=errs, okc=okc, model=model,
+                                  nu_fit=nu_fit, init=init,
+                                  sub_flags=sub_flags, DM_base=DM_base))
 
             # ---- fit pass: one batched device program when the archive
             # is homogeneous (same freqs, no degenerate subints, default
@@ -333,9 +341,17 @@ class GetTOAs:
                         scattering=None if fit_scat else False)
                 tot_duration += duration
 
-                phi = float(res.phi)
+                # restore the base dispersion (host float64): the graph
+                # fitted dDM around DM_base with the rotation anchored at
+                # nu_fit, so the original data's phase at any nu is the
+                # fitted phase plus the base transport term
+                DM_base = prep["DM_base"]
+                phi_rot = float(res.phi)
+                base_shift = DCONST * DM_base / P * (
+                    float(res.nu_DM) ** -2.0 - nu_fit ** -2.0)
+                phi = (phi_rot + base_shift + 0.5) % 1.0 - 0.5
                 phi_err = float(res.phi_err)
-                DM_fit = float(res.DM)
+                DM_fit = DM_base + float(res.DM)
                 GM_fit = float(res.GM)
                 epoch = data.epochs[isub]
                 # TOA at the output reference (pptoas.py:528-531)
