@@ -168,3 +168,39 @@ def test_batched_fit_matches_single_fits():
                                      res_b.nu_DM[i], nu_fit, P, mod=True)
         assert abs(float(phi_at_fit) - phi0) < \
             5 * float(res_b.param_errs[i, 0]) + 1e-6
+
+
+def test_nu_zeros_decorrelate_other_branches():
+    """At nu_zero, the targeted parameter covariance vanishes for the
+    closed-form branches (reference pptoaslib.py:733-906)."""
+    from pulseportraiture_tpu.fitters import nu_zeros, stats
+    from pulseportraiture_tpu.ops.scattering import (
+        scattering_portrait_FT, scattering_times)
+
+    nchan, nbin, P = 24, 256, 0.003
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model, _ = make_model(nchan=nchan, nbin=nbin)
+    model = np.asarray(model)
+    tau0 = 0.01
+    taus = scattering_times(tau0, -4.0, freqs, 1500.0)
+    B = np.asarray(scattering_portrait_FT(jnp.asarray(taus), nbin))
+    scat = np.fft.irfft(B * np.fft.rfft(model, axis=-1), n=nbin, axis=-1)
+    data = np.asarray(rotate_portrait_full(
+        jnp.asarray(scat), -0.02, -1.5e-3, 0.0, jnp.asarray(freqs),
+        1500.0, np.inf, P=P))
+    data = data + RNG.normal(0, 1e-3, data.shape)
+
+    for ff, icov in [((1, 1, 0, 1, 0), (0, 1)),   # phi-DM
+                     ((1, 0, 1, 0, 0), (0, 2)),   # phi-GM
+                     ((0, 0, 0, 1, 1), (3, 4))]:  # tau-alpha (log space)
+        res, _ = fit_portrait_full(
+            jnp.asarray(data), jnp.asarray(model),
+            jnp.asarray([0.0, 0.0, 0.0, np.log10(tau0), -4.0]), P,
+            jnp.asarray(freqs), errs=jnp.full(nchan, 1e-3),
+            nu_fits=(1500.0, 1500.0, 1500.0), fit_flags=ff,
+            log10_tau=True)
+        cov = np.asarray(res.covariance_matrix)
+        i, j = icov
+        denom = np.sqrt(abs(cov[i, i] * cov[j, j]))
+        corr = cov[i, j] / denom if denom > 0 else 0.0
+        assert abs(corr) < 5e-2, (ff, corr)
