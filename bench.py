@@ -23,8 +23,29 @@ BATCH = int(os.environ.get("PP_BENCH_BATCH", 8))
 REPS = int(os.environ.get("PP_BENCH_REPS", 3))
 
 
+def _backend_alive(timeout_s=240):
+    """Probe default-backend init in a subprocess; the remote-TPU tunnel
+    can hang indefinitely inside C code where no signal can interrupt."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    global BATCH, REPS
+    if not _backend_alive():
+        print("bench: default backend unreachable, falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        BATCH, REPS = min(BATCH, 2), 1
 
     # persistent compilation cache: repeated bench runs skip the XLA
     # compile (first TPU compile of the batched fitter is tens of seconds)
