@@ -92,6 +92,9 @@ def main(argv=None):
     gt = GetTOAs(args.datafiles, args.modelfile, quiet=args.quiet)
     if args.narrowband:
         gt.get_narrowband_TOAs(tscrunch=args.tscrunch,
+                               fit_scat=args.fit_scat,
+                               log10_tau=not args.no_logscat,
+                               scat_guess=scat_guess,
                                print_phase=args.print_phase,
                                print_flux=args.print_flux,
                                addtnl_toa_flags=addtnl)

@@ -505,16 +505,20 @@ class GetTOAs:
                       f"Med. TOA error is {med_err:.3f} us")
 
     def get_narrowband_TOAs(self, datafile=None, tscrunch=False,
+                            fit_scat=False, log10_tau=True,
+                            scat_guess=None,
                             print_phase=False, print_flux=False,
                             addtnl_toa_flags=None, quiet=None):
         """Per-channel (narrowband) TOAs via batched FFTFIT.
 
         Reference: pptoas.py:745-1131, which loops fit_phase_shift over
         channels in Python; here every live channel of a subint goes
-        through one vmapped fit_phase_shift_batch call (the scattering
-        fit there is scaffolded-disabled, pptoas.py:988-994, and is a
-        documented non-goal).  TOAs carry no DM; flags follow
-        pptoas.py:1060-1087 (chan flag instead of nch/nchx).
+        through one vmapped fit_phase_shift_batch call.  fit_scat=True
+        additionally fits a per-channel scattering timescale — the
+        reference scaffolds but disables this (pptoas.py:988-994); here
+        it runs as a batch of single-channel (phi, tau) wideband fits.
+        TOAs carry no DM; flags follow pptoas.py:1060-1087 (chan flag
+        instead of nch/nchx; scat_time/scat_time_err when fit_scat).
         """
         import jax.numpy as jnp
         from pulseportraiture_tpu.fitters.phase_shift import \
@@ -546,17 +550,52 @@ class GetTOAs:
                     continue
                 model = self.model_source.eval(data.phases, freqs, P)
                 t0 = time.time()
-                res = fit_phase_shift_batch(
-                    jnp.asarray(port[okc]), jnp.asarray(model[okc]),
-                    noise=jnp.asarray(errs_all[okc]))
+                taus_np = tau_errs_np = None
+                if fit_scat:
+                    # batch of single-channel (phi, tau) wideband fits
+                    from pulseportraiture_tpu.fitters.portrait import \
+                        fit_portrait_full_batch
+                    sg = scat_guess or _DEFAULT_SCAT_GUESS
+                    nchx = len(okc)
+                    pg = fit_phase_shift_batch(
+                        jnp.asarray(port[okc]), jnp.asarray(model[okc]),
+                        noise=jnp.asarray(errs_all[okc]))
+                    tau0 = (sg[0] / P) * (freqs[okc] / sg[1]) ** sg[2]
+                    x_tau0 = np.log10(np.maximum(tau0, 1e-12)) \
+                        if log10_tau else tau0
+                    init = np.zeros((nchx, 5))
+                    init[:, 0] = np.asarray(pg.phase)
+                    init[:, 3] = x_tau0
+                    init[:, 4] = sg[2]
+                    bres = fit_portrait_full_batch(
+                        jnp.asarray(port[okc][:, None, :]),
+                        jnp.asarray(model[okc][:, None, :]),
+                        jnp.asarray(init), jnp.full(nchx, P),
+                        jnp.asarray(freqs[okc][:, None]),
+                        jnp.asarray(errs_all[okc][:, None]),
+                        nu_fits=jnp.asarray(
+                            np.repeat(freqs[okc][:, None], 3, axis=1)),
+                        fit_flags=(1, 0, 0, 1, 0), log10_tau=log10_tau)
+                    phases = np.asarray(bres.phi)
+                    phase_errs = np.asarray(bres.phi_err)
+                    scales = np.asarray(bres.scales)[:, 0]
+                    scale_errs = np.asarray(bres.scale_errs)[:, 0]
+                    snrs = np.asarray(bres.snr)
+                    gofs = np.asarray(bres.red_chi2)
+                    taus_np = np.asarray(bres.tau)
+                    tau_errs_np = np.asarray(bres.tau_err)
+                else:
+                    res = fit_phase_shift_batch(
+                        jnp.asarray(port[okc]), jnp.asarray(model[okc]),
+                        noise=jnp.asarray(errs_all[okc]))
+                    phases = np.asarray(res.phase)
+                    phase_errs = np.asarray(res.phase_err)
+                    scales = np.asarray(res.scale)
+                    scale_errs = np.asarray(res.scale_err)
+                    snrs = np.asarray(res.snr)
+                    gofs = np.asarray(res.red_chi2)
                 duration = time.time() - t0
                 tot_duration += duration
-                phases = np.asarray(res.phase)
-                phase_errs = np.asarray(res.phase_err)
-                scales = np.asarray(res.scale)
-                scale_errs = np.asarray(res.scale_err)
-                snrs = np.asarray(res.snr)
-                gofs = np.asarray(res.red_chi2)
                 model_means = model[okc].mean(-1)
                 epoch = data.epochs[isub]
                 for ix, ichan in enumerate(okc):
@@ -572,6 +611,14 @@ class GetTOAs:
                         tobs=float(data.subtimes[isub]),
                         tmplt=self.modelfile,
                         snr=float(snrs[ix]), gof=float(gofs[ix]))
+                    if taus_np is not None:
+                        # per-channel scattering flags (pptoas.py:997-1010)
+                        t_lin = 10.0 ** taus_np[ix] if log10_tau \
+                            else taus_np[ix]
+                        t_err = (np.log(10.0) * t_lin * tau_errs_np[ix]
+                                 if log10_tau else tau_errs_np[ix])
+                        flags["scat_time"] = float(t_lin * P * 1e6)
+                        flags["scat_time_err"] = float(t_err * P * 1e6)
                     if print_phase:
                         flags["phs"] = float(phases[ix])
                         flags["phs_err"] = float(phase_errs[ix])

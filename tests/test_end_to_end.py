@@ -177,3 +177,23 @@ def test_model_built_pipeline_aligned_template_is_dedispersed(workspace):
     errs = np.asarray(gt.DeltaDM_errs) + 1e-5
     rel = (rec - rec.mean()) - (dDMs - dDMs.mean())
     assert np.all(np.abs(rel) < 8 * errs), (rec, dDMs, errs)
+
+
+def test_narrowband_scattering_fit(workspace):
+    """Per-channel (phi, tau) narrowband fits recover the injected
+    scattering timescale (beyond-reference: upstream scaffolds but
+    disables this, pptoas.py:988-994)."""
+    ws, par, gmodel = workspace
+    rng = np.random.default_rng(17)
+    path = str(ws / "nbscat.fits")
+    make_fake_pulsar(gmodel, par, outfile=path, nsub=1, npol=1, nchan=16,
+                     nbin=256, nu0=1500.0, bw=800.0, tsub=60.0, dDM=0.0,
+                     start_MJD=MJD(57202.0), noise_stds=0.05,
+                     t_scat=3e-5, dedispersed=True, quiet=True, rng=rng)
+    gt = GetTOAs([path], gmodel, quiet=True)
+    gt.get_narrowband_TOAs(fit_scat=True, quiet=True)
+    assert len(gt.TOA_list) == 16
+    for toa in gt.TOA_list[4:12]:  # mid-band channels (best S/N)
+        exp_us = 3e-5 * (toa.frequency / 1500.0) ** -4 * 1e6
+        assert 0.3 * exp_us < toa.flags["scat_time"] < 3 * exp_us, \
+            (toa.frequency, toa.flags["scat_time"], exp_us)
