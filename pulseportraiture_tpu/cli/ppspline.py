@@ -37,6 +37,10 @@ def build_parser():
                    help="spline smoothing factor multiplier")
     p.add_argument("-t", "--max_nbreak", type=int, default=None,
                    help="max number of spline breakpoints")
+    p.add_argument("--plots", action="store_true",
+                   help="show eigenprofile and spline-projection plots")
+    p.add_argument("--saveplots", default=None,
+                   help="save the plots with this filename prefix")
     p.add_argument("--quiet", action="store_true")
     from pulseportraiture_tpu.cli import add_common_args
     return add_common_args(p)
@@ -58,6 +62,12 @@ def main(argv=None):
         model_name=args.model_name, quiet=args.quiet)
     outfile = args.outfile or (args.datafile + ".spl")
     dp.write_model(outfile, quiet=args.quiet)
+    if args.plots or args.saveplots:
+        pre = args.saveplots
+        dp.show_eigenprofiles(savefig=f"{pre}_eig.png" if pre else False,
+                              show=args.plots)
+        dp.show_spline_curve_projections(
+            savefig=f"{pre}_spl.png" if pre else False, show=args.plots)
     if args.archive:
         dp.write_model_archive(args.archive, quiet=args.quiet)
     return 0

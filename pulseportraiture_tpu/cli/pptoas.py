@@ -61,6 +61,11 @@ def build_parser():
                    help="drop TOAs below this S/N")
     p.add_argument("--princeton", action="store_true",
                    help="write princeton-format TOAs instead of IPTA")
+    p.add_argument("--showplot", action="store_true",
+                   help="show the residual plot of the first fitted "
+                        "subint per archive")
+    p.add_argument("--saveplot", default=None,
+                   help="save residual plots with this filename prefix")
     p.add_argument("--quiet", action="store_true")
     from pulseportraiture_tpu.cli import add_common_args
     return add_common_args(p)
@@ -105,6 +110,16 @@ def main(argv=None):
                     log10_tau=not args.no_logscat, scat_guess=scat_guess,
                     fix_alpha=args.fix_alpha, print_phase=args.print_phase,
                     print_flux=args.print_flux, addtnl_toa_flags=addtnl)
+
+    if (args.showplot or args.saveplot) and not args.narrowband:
+        for iarch, df in enumerate(gt.order):
+            if not gt.ok_isubs[iarch]:
+                continue
+            isub = gt.ok_isubs[iarch][0]
+            sf = f"{args.saveplot}_{iarch}_{isub}.png" \
+                if args.saveplot else False
+            gt.show_fit(datafile=df, isub=isub, show=args.showplot,
+                        savefig=sf)
 
     if args.one_DM:
         # rewrite each TOA's DM to its archive's DeltaDM_mean + DM0

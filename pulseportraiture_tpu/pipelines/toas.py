@@ -14,6 +14,7 @@ per-subint model regeneration is not needed.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -192,6 +193,7 @@ class GetTOAs:
             fit_flags = (1, int(fit_DM), int(fit_GM), 0, 0)
         self.log10_tau = log10_tau = log10_tau and fit_scat
 
+        arch_jobs = []
         for idf, df in enumerate(datafiles):
             try:
                 data = load_data(df, dedisperse=False,
@@ -202,19 +204,8 @@ class GetTOAs:
                 print(f"Skipping {df}: could not load ({exc})")
                 continue
             self.ok_idatafiles.append(idf)
-            nsub = data.nsub
             nbin = data.nbin
             DM0_arch = data.DM if DM0 is None else DM0
-            phis, phi_errs, TOAs_l, TOA_errs_l = [], [], [], []
-            DMs_l, DM_errs_l = [], []
-            GMs_l, GM_errs_l = [], []
-            taus_l, tau_errs_l, alphas_l, alpha_errs_l = [], [], [], []
-            scales_l, scale_errs_l, snrs_l, chan_snrs_l = [], [], [], []
-            fluxes_l, flux_errs_l = [], []
-            red_chi2s_l, covs_l, nfevals_l, rcs_l = [], [], [], []
-            nu_fits_l, nu_refs_l = [], []
-            ok_isubs = []
-            epochs_l, MJDs_l, Ps_l = [], [], []
 
             # ---- prep pass: per-subint model, guesses, fit inputs ----
             preps = []
@@ -285,37 +276,77 @@ class GetTOAs:
                                   nu_fit=nu_fit, init=init,
                                   sub_flags=sub_flags, DM_base=DM_base))
 
-            # ---- fit pass: one batched device program when the archive
-            # is homogeneous (same freqs, no degenerate subints, default
-            # output refs); else the jit-cached per-subint fitter ----
-            batchable = (
-                len(preps) > 1 and nu_refs is None and not fit_flags[2]
-                and all(p["sub_flags"] == fit_flags for p in preps)
-                and all(np.array_equal(p["freqs"], preps[0]["freqs"])
-                        for p in preps[1:]))
-            results = {}
-            if batchable:
-                from pulseportraiture_tpu.fitters.portrait import \
-                    fit_portrait_full_batch
-                t0 = time.time()
-                bres = fit_portrait_full_batch(
-                    jnp.asarray(np.stack([p["port"] for p in preps])),
-                    jnp.asarray(np.stack([p["model"] for p in preps])),
-                    jnp.asarray(np.stack([p["init"] for p in preps])),
-                    jnp.asarray(np.array([p["P"] for p in preps])),
-                    jnp.asarray(preps[0]["freqs"]),
-                    jnp.asarray(np.stack([p["errs"] for p in preps])),
-                    nu_fits=jnp.asarray(np.array(
-                        [[p["nu_fit"]] * 3 for p in preps])),
-                    fit_flags=fit_flags, log10_tau=log10_tau,
-                    scattering=None if fit_scat else False)
-                import jax
-                jax.block_until_ready(bres.params)
-                batch_dur = (time.time() - t0) / len(preps)
-                for i, p in enumerate(preps):
-                    results[p["isub"]] = (
-                        jax.tree_util.tree_map(lambda x, i=i: x[i], bres),
-                        batch_dur)
+            arch_jobs.append(dict(df=df, data=data, DM0_arch=DM0_arch,
+                                  preps=preps, nbin=nbin))
+
+        # ---- global fit pass: batch fittable subints across ALL
+        # archives into chunked device programs (grouped by portrait
+        # shape; per-item frequency grids are supported).  Degenerate
+        # subints and non-default output references fall back to the
+        # jit-cached per-subint fitter in the assembly pass. ----
+        results = {}
+        batchable_items = []
+        if nu_refs is None and not fit_flags[2]:
+            for iarch, job in enumerate(arch_jobs):
+                for p in job["preps"]:
+                    if p["sub_flags"] == fit_flags:
+                        batchable_items.append((iarch, p))
+        if len(batchable_items) > 1:
+            import jax
+
+            from pulseportraiture_tpu.fitters.portrait import \
+                fit_portrait_full_batch
+            chunk = int(os.environ.get("PP_FIT_CHUNK", "256"))
+            groups = {}
+            for iarch, p in batchable_items:
+                groups.setdefault(p["port"].shape, []).append((iarch, p))
+            for items in groups.values():
+                if len(items) < 2:
+                    continue
+                for lo in range(0, len(items), chunk):
+                    part = items[lo:lo + chunk]
+                    t0 = time.time()
+                    bres = fit_portrait_full_batch(
+                        jnp.asarray(np.stack(
+                            [p["port"] for _, p in part])),
+                        jnp.asarray(np.stack(
+                            [p["model"] for _, p in part])),
+                        jnp.asarray(np.stack(
+                            [p["init"] for _, p in part])),
+                        jnp.asarray(np.array([p["P"] for _, p in part])),
+                        jnp.asarray(np.stack(
+                            [p["freqs"] for _, p in part])),
+                        jnp.asarray(np.stack(
+                            [p["errs"] for _, p in part])),
+                        nu_fits=jnp.asarray(np.array(
+                            [[p["nu_fit"]] * 3 for _, p in part])),
+                        fit_flags=fit_flags, log10_tau=log10_tau,
+                        scattering=None if fit_scat else False)
+                    jax.block_until_ready(bres.params)
+                    dur = (time.time() - t0) / len(part)
+                    for i, (iarch, p) in enumerate(part):
+                        results[(iarch, p["isub"])] = (
+                            jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                                   bres), dur)
+
+        # ---- assembly pass (per archive) ----
+        for iarch, job in enumerate(arch_jobs):
+            df = job["df"]
+            data = job["data"]
+            DM0_arch = job["DM0_arch"]
+            preps = job["preps"]
+            nbin = job["nbin"]
+            arch_duration = 0.0
+            phis, phi_errs, TOAs_l, TOA_errs_l = [], [], [], []
+            DMs_l, DM_errs_l = [], []
+            GMs_l, GM_errs_l = [], []
+            taus_l, tau_errs_l, alphas_l, alpha_errs_l = [], [], [], []
+            scales_l, scale_errs_l, snrs_l, chan_snrs_l = [], [], [], []
+            fluxes_l, flux_errs_l = [], []
+            red_chi2s_l, covs_l, nfevals_l, rcs_l = [], [], [], []
+            nu_fits_l, nu_refs_l = [], []
+            ok_isubs = []
+            epochs_l, MJDs_l, Ps_l = [], [], []
 
             for prep in preps:
                 isub = prep["isub"]
@@ -323,11 +354,12 @@ class GetTOAs:
                 freqs = prep["freqs"]
                 weights = prep["weights"]
                 okc = prep["okc"]
+                freqsx = freqs[okc]
                 model = prep["model"]
                 nu_fit = prep["nu_fit"]
                 nu_fits_l.append(np.array([nu_fit] * 3))
-                if isub in results:
-                    res, duration = results[isub]
+                if (iarch, isub) in results:
+                    res, duration = results[(iarch, isub)]
                 else:
                     nu_outs = (None, None, None) if nu_refs is None \
                         else nu_refs
@@ -340,6 +372,7 @@ class GetTOAs:
                         log10_tau=log10_tau, quiet=quiet,
                         scattering=None if fit_scat else False)
                 tot_duration += duration
+                arch_duration += duration
 
                 # restore the base dispersion (host float64): the graph
                 # fitted dDM around DM_base with the rotation anchored at
@@ -493,7 +526,7 @@ class GetTOAs:
             self.rcs.append(np.asarray(rcs_l))
             self.nu_fits.append(nu_fits_l)
             self.nu_refs.append(nu_refs_l)
-            self.fit_durations.append(tot_duration)
+            self.fit_durations.append(arch_duration)
 
         if not quiet:
             ntoa = len(self.TOA_list)

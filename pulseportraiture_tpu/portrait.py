@@ -636,3 +636,20 @@ class DataPortrait:
         show_residual_plot(self.port, self.model_masked,
                            phases=self.phases, freqs=self.freqs[0],
                            **kwargs)
+
+    def show_eigenprofiles(self, **kwargs):
+        """Mean profile + significant eigenprofiles (ppspline.py:234-249)."""
+        from pulseportraiture_tpu.viz import show_eigenprofiles
+        eigvec = getattr(self, "smooth_eigvec", None)
+        if eigvec is None:
+            eigvec = self.eigvec
+        cols = self.ieig if len(getattr(self, "ieig", [])) else []
+        show_eigenprofiles(np.asarray(eigvec)[:, cols],
+                           mean_prof=getattr(self, "smooth_mean_prof",
+                                             self.mean_prof), **kwargs)
+
+    def show_spline_curve_projections(self, **kwargs):
+        """Spline-curve projections vs frequency (ppspline.py:251-276)."""
+        from pulseportraiture_tpu.viz import show_spline_curve_projections
+        show_spline_curve_projections(self.proj_port, self.freqsxs[0],
+                                      tck=self.tck, **kwargs)
