@@ -103,3 +103,43 @@ def test_make_spline_model_and_use(avg_archive):
     gt.get_TOAs(quiet=True)
     assert len(gt.TOA_list) == 1
     assert gt.TOA_list[0].flags["gof"] < 2.0
+
+
+def test_metafile_joins_gaussian_model(tmp_path):
+    """Two-band metafile: join machinery + joined Gaussian fit
+    (reference pplib.py:163-305, ppgauss join handling)."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.models.gmodel_io import write_model
+    from pulseportraiture_tpu.portrait import DataPortrait
+    from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+
+    par = tmp_path / "j.par"
+    par.write_text("PSR J1\nRAJ 01:02:03\nDECJ 04:05:06\n"
+                   "F0 200.0\nPEPOCH 57000\nDM 20.0\n")
+    gmodel = str(tmp_path / "j.gmodel")
+    write_model(gmodel, "J", "000", 1500.0,
+                [0.0, 0.0, 0.35, 0.0, 0.04, -0.5, 4.0, -1.5],
+                [1] * 8, -4.0, 0, quiet=True)
+    rng = np.random.default_rng(12)
+    files = []
+    for i, nu0 in enumerate([1300.0, 1700.0]):
+        f = str(tmp_path / f"band{i}.fits")
+        make_fake_pulsar(gmodel, str(par), outfile=f, nsub=1, npol=1,
+                         nchan=16, nbin=256, nu0=nu0, bw=400.0, tsub=60.0,
+                         dDM=0.0, start_MJD=MJD(57202.0), noise_stds=0.05,
+                         dedispersed=True, quiet=True, rng=rng)
+        files.append(f)
+    meta = tmp_path / "bands.meta"
+    meta.write_text("\n".join(files) + "\n")
+    dp = DataPortrait(str(meta), quiet=True)
+    assert dp.njoin == 2
+    assert dp.nchan == 32
+    res = dp.make_gaussian_model(ngauss=1, niter=1, quiet=True,
+                                 outfile=str(tmp_path / "j-fit.gmodel"))
+    assert res.red_chi2 < 2.0
+    jf = tmp_path / "bands.join"
+    dp.write_join_parameters(str(jf), quiet=True)
+    lines = jf.read_text().strip().splitlines()
+    assert len(lines) == 2 and "band0" in lines[0]
