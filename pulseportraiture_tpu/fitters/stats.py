@@ -34,8 +34,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from pulseportraiture_tpu.config import DCONST, F0_FACT
 from pulseportraiture_tpu.ops.transform import phase_shifts, phase_shifts_deriv
+
+from pulseportraiture_tpu.config import F0_FACT
 
 TWO_PI = 2.0 * jnp.pi
 LN10 = jnp.log(10.0)
@@ -226,6 +227,20 @@ def _moments(params, setup, log10_tau, order, scattering=True):
         return out
 
     taus, dtau, d2tau = _taus_and_derivs(params, setup, log10_tau)
+
+    if order == 2 and _use_pallas_moments():
+        # fused single-pass TPU kernel (ops/pallas_moments.py)
+        from pulseportraiture_tpu.ops.pallas_moments import \
+            scattering_moments
+        C, S, Cp, Rf, S1, Cpp, If1, Rg, S2 = scattering_moments(
+            phis, taus, Gr, Gi, M2)
+        phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM,
+                                    setup.nu_GM, setup.P)
+        return {"phis": phis, "taus": taus, "dtau": dtau, "d2tau": d2tau,
+                "C": w * C, "S": w * S, "phis_d": phis_d, "Cp": w * Cp,
+                "Rf": w * Rf, "S1": w * S1, "Cpp": w * Cpp,
+                "If1": w * If1, "Rg": w * Rg, "S2": w * S2}
+
     # B = 1/(1 + i c tau), c = 2 pi k
     ct = TWO_PI * k * taus[..., None]
     Bden = 1.0 + ct * ct

@@ -8,7 +8,6 @@ exponents are handled.  Unknown keys are preserved in .all for round-trip.
 
 from __future__ import annotations
 
-import numpy as np
 
 from pulseportraiture_tpu.utils import DataBunch
 

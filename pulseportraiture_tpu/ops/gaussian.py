@@ -12,7 +12,6 @@ pulses) where the naive formula overflows.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import jax.scipy.special as jss
 
 from pulseportraiture_tpu.ops.scattering import scattering_profile_FT
 

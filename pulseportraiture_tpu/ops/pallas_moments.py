@@ -121,3 +121,117 @@ def phase_moments_reference(phis, Gr, Gi):
     Cp = (-TWO_PI) * jnp.sum(k * zi, axis=-1)
     Cpp = (-TWO_PI * TWO_PI) * jnp.sum(k * k * zr, axis=-1)
     return C, Cp, Cpp
+
+
+def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
+    """Full-scattering moments: 9 harmonic reductions in one pass.
+
+    Mirrors fitters.stats._moments order=2 (reference pptoaslib.py
+    318-523): phasor x scattering-FT algebra with B = 1/(1 + i c tau),
+    f = dB/dtau = -2 pi i k B^2, g2 = d2B/dtau2 = -8 pi^2 k^2 B^3.
+    """
+    phis = phis_ref[:]
+    taus = taus_ref[:]
+    gr = gr_ref[:]
+    gi = gi_ref[:]
+    m2 = m2_ref[:]
+    nharm = gr.shape[-1]
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
+    # precise phase ramp (double-single; see stats._phase_trig)
+    p = phis - jnp.round(phis)
+    hi = jnp.round(p * 8192.0) / 8192.0
+    lo = p - hi
+    prod = hi * k
+    frac = prod - jnp.round(prod)
+    ang = TWO_PI * (frac + lo * k)
+    Pr = jnp.cos(ang)
+    Pi = jnp.sin(ang)
+
+    ct = TWO_PI * k * taus
+    Bden = 1.0 + ct * ct
+    Br = 1.0 / Bden
+    Bi = -ct / Bden
+    Ar = gr * Br + gi * Bi
+    Ai = gi * Br - gr * Bi
+    zr = Ar * Pr - Ai * Pi
+    zi = Ar * Pi + Ai * Pr
+    B2 = Br * Br + Bi * Bi
+
+    cb2r = Br * Br - Bi * Bi
+    cb2i = -2.0 * Br * Bi
+    cfr = TWO_PI * k * (-cb2i)
+    cfi = TWO_PI * k * cb2r
+    GPr = gr * Pr - gi * Pi
+    GPi = gr * Pi + gi * Pr
+    zfr = GPr * cfr - GPi * cfi
+    zfi = GPr * cfi + GPi * cfr
+    u1 = 2.0 * (Br * cfr - Bi * cfi)
+
+    cb3r = cb2r * Br + cb2i * Bi
+    cb3i = -cb2r * Bi + cb2i * Br
+    w2k2 = -(TWO_PI ** 2) * 2.0 * k * k
+    cgr = w2k2 * cb3r
+    cgi = w2k2 * cb3i
+    zgr = GPr * cgr - GPi * cgi
+    f2 = cfr * cfr + cfi * cfi
+    u2 = 2.0 * (f2 + (Br * cgr - Bi * cgi))
+
+    C = jnp.sum(zr, axis=-1)
+    S = jnp.sum(B2 * m2, axis=-1)
+    Cp = (-TWO_PI) * jnp.sum(k * zi, axis=-1)
+    Rf = jnp.sum(zfr, axis=-1)
+    S1 = jnp.sum(u1 * m2, axis=-1)
+    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(k * k * zr, axis=-1)
+    If1 = (-TWO_PI) * jnp.sum(k * zfi, axis=-1)
+    Rg = jnp.sum(zgr, axis=-1)
+    S2 = jnp.sum(u2 * m2, axis=-1)
+    out_ref[:] = jnp.stack([C, S, Cp, Rf, S1, Cpp, If1, Rg, S2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig_dtype = Gr.dtype
+    phis = phis.astype(jnp.float32)
+    taus = taus.astype(jnp.float32)
+    Gr = Gr.astype(jnp.float32)
+    Gi = Gi.astype(jnp.float32)
+    M2 = M2.astype(jnp.float32)
+    nchan, nharm = Gr.shape[-2], Gr.shape[-1]
+    pad = (-nchan) % _CBLK
+    if pad:
+        pz = [(0, 0)] * (Gr.ndim - 2) + [(0, pad), (0, 0)]
+        Gr = jnp.pad(Gr, pz)
+        Gi = jnp.pad(Gi, pz)
+        M2 = jnp.pad(M2, pz)
+        pv = [(0, 0)] * (phis.ndim - 1) + [(0, pad)]
+        phis = jnp.pad(phis, pv)
+        taus = jnp.pad(taus, pv)
+    ntot = nchan + pad
+    grid = (ntot // _CBLK,)
+    spec1 = pl.BlockSpec((_CBLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    specH = pl.BlockSpec((_CBLK, nharm), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _scat_kernel,
+        out_shape=jax.ShapeDtypeStruct(Gr.shape[:-2] + (ntot, 9),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[spec1, spec1, specH, specH, specH],
+        out_specs=pl.BlockSpec((_CBLK, 9), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phis[..., None], taus[..., None], Gr, Gi, M2)
+    out = out[..., :nchan, :].astype(orig_dtype)
+    return tuple(out[..., j] for j in range(9))
+
+
+def scattering_moments(phis, taus, Gr, Gi, M2, interpret=None):
+    """(C, S, Cp, Rf, S1, Cpp, If1, Rg, S2), each (..., nchan)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _scattering_moments_impl(phis, taus, Gr, Gi, M2,
+                                    interpret=interpret)

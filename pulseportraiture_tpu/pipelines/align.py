@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 from pulseportraiture_tpu.io.archive import load_data, unload_new_archive
-from pulseportraiture_tpu.utils import DataBunch
 
 
 def average_archives(metafile_or_list, outfile, tscrunch=True,

@@ -21,9 +21,8 @@ import numpy as np
 
 from pulseportraiture_tpu.config import DCONST
 from pulseportraiture_tpu.io.archive import load_data
-from pulseportraiture_tpu.io.mjd import MJD
 from pulseportraiture_tpu.io.tim import TOA
-from pulseportraiture_tpu.utils import DataBunch, weighted_mean
+from pulseportraiture_tpu.utils import weighted_mean
 
 # scattering guess defaults: tau [sec], at nu [MHz], index (pptoas.py:~437)
 _DEFAULT_SCAT_GUESS = (1e-5, 1500.0, -4.0)
@@ -34,7 +33,6 @@ def _resolve_datafiles(datafiles):
     if isinstance(datafiles, (list, tuple)):
         return list(datafiles)
     try:
-        from pulseportraiture_tpu.io import fits as ppfits
         with open(datafiles, "rb") as f:
             magic = f.read(6)
         if magic == b"SIMPLE":

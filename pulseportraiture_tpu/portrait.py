@@ -14,7 +14,6 @@ import numpy as np
 
 from pulseportraiture_tpu.config import DEFAULT_MODEL_CODE, SCATTERING_ALPHA
 from pulseportraiture_tpu.io.archive import load_data, unload_new_archive
-from pulseportraiture_tpu.utils import DataBunch
 
 
 def _is_metafile(path):

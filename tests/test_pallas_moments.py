@@ -52,3 +52,29 @@ def test_stats_no_scattering_pallas_path_matches(monkeypatch):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_scattering_moments_kernel_matches_stats(monkeypatch):
+    """The 9-reduction scattering kernel equals the plain jnp path."""
+    import jax.numpy as jnp
+
+    from pulseportraiture_tpu.fitters import stats
+
+    rng = np.random.default_rng(8)
+    nchan, nbin = 12, 128
+    freqs = jnp.asarray(np.linspace(1100.0, 1900.0, nchan), jnp.float32)
+    data = jnp.asarray(rng.normal(1.0, 0.3, (nchan, nbin)), jnp.float32)
+    model = jnp.asarray(rng.normal(1.0, 0.3, (nchan, nbin)), jnp.float32)
+    setup = stats.make_setup(data, model,
+                             jnp.full(nchan, 0.1, jnp.float32), 0.003,
+                             freqs, 1500.0, 1500.0, 1500.0)
+    params = jnp.asarray([0.01, 1e-4, 0.0, -2.0, -4.0], jnp.float32)
+    monkeypatch.setenv("PP_PALLAS", "0")
+    m0 = stats._moments(params, setup, True, order=2)
+    monkeypatch.setenv("PP_PALLAS", "1")
+    m1 = stats._moments(params, setup, True, order=2)
+    for key in ("C", "S", "Cp", "Rf", "S1", "Cpp", "If1", "Rg", "S2"):
+        a, b = np.asarray(m0[key]), np.asarray(m1[key])
+        scale = np.abs(a).max() + 1e-30
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-6,
+                                   err_msg=key)
