@@ -11,6 +11,8 @@ this pure-Python implementation as the portable fallback.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 BLOCK = 2880
@@ -129,10 +131,22 @@ def write_fits(path, hdus):
         primary = hdus[0]
         cards = [("SIMPLE", True), ("BITPIX", 8), ("NAXIS", 0),
                  ("EXTEND", True)]
-        cards += [(k, v) for k, v in primary.header.items()]
+        cards += [(k, v) for k, v in primary.header.items()
+                  if not _is_structural(k)]
         _write_header(f, cards)
         for hdu in hdus[1:]:
             _write_table(f, hdu)
+
+
+_STRUCTURAL = re.compile(
+    r"^(SIMPLE|BITPIX|NAXIS\d*|EXTEND|PCOUNT|GCOUNT|TFIELDS|XTENSION|"
+    r"EXTNAME|END|TTYPE\d+|TFORM\d+|TUNIT\d+|TDIM\d+)$")
+
+
+def _is_structural(key):
+    """Keys derived from the data at write time; dropping them makes
+    write_fits(read_fits(path)) round-trips safe after column edits."""
+    return bool(_STRUCTURAL.match(key))
 
 
 def _col_spec(arr):
@@ -171,7 +185,8 @@ def _write_table(f, hdu):
         cards.append((f"TTYPE{i + 1}", name))
         cards.append((f"TFORM{i + 1}", tform))
     cards.append(("EXTNAME", hdu.name))
-    cards += [(k, v) for k, v in hdu.header.items()]
+    cards += [(k, v) for k, v in hdu.header.items()
+              if not _is_structural(k)]
     _write_header(f, cards)
     # interleave rows (native multithreaded scatter when available)
     from pulseportraiture_tpu.io import native

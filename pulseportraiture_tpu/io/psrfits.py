@@ -248,7 +248,23 @@ def read_psrfits(path) -> Archive:
                by_name["PSRPARAM"].columns["PARAM"]]
     freqs = np.atleast_2d(np.asarray(sub.columns["DAT_FREQ"], dtype="f8"))
     weights = np.atleast_2d(np.asarray(sub.columns["DAT_WTS"], dtype="f8"))
+    if freqs.shape[0] == 1 and nsub > 1:
+        freqs = np.broadcast_to(freqs, (nsub, nchan)).copy()
+    if weights.shape[0] == 1 and nsub > 1:
+        weights = np.broadcast_to(weights, (nsub, nchan)).copy()
     dop = sub.columns.get("DOPPLER")
+    # PERIOD is this framework's column; standard PSRFITS stores the spin
+    # model in a POLYCO table or only in the ephemeris.  Fall back to
+    # F0/F1 from PSRPARAM evaluated at each subint epoch.
+    if "PERIOD" in sub.columns:
+        Ps = np.asarray(sub.columns["PERIOD"], dtype="f8")
+    elif eph is not None:
+        from pulseportraiture_tpu.io.par import parse_par, period_at
+        par = parse_par(eph)
+        Ps = np.array([period_at(par, e.in_days()) for e in epochs])
+    else:
+        raise ValueError(f"{path}: no PERIOD column and no PSRPARAM "
+                         "ephemeris to derive folding periods from")
     state = {"AA+BB": "Intensity", "INTEN": "Intensity",
              "IQUV": "Stokes"}.get(str(h.get("POL_TYPE", "AA+BB")).strip(),
                                    "Coherence")
@@ -256,7 +272,7 @@ def read_psrfits(path) -> Archive:
         state = "Intensity"
     return Archive(
         data=data, freqs=freqs, weights=weights,
-        Ps=np.asarray(sub.columns["PERIOD"], dtype="f8"),
+        Ps=Ps,
         epochs=epochs,
         subtimes=np.asarray(sub.columns["TSUBINT"], dtype="f8"),
         DM=float(h.get("DM", 0.0)), dedispersed=bool(h.get("DEDISP", False)),

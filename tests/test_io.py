@@ -132,3 +132,43 @@ def test_get_zap_channels_clips_outliers():
     zap = get_zap_channels(noise, nstd=3.0)
     assert 5 in zap and 40 in zap and 10 not in zap
     assert len(zap) == 2
+
+
+def test_foreign_psrfits_missing_period_column(tmp_path):
+    """Standard PSRFITS has no PERIOD/DOPPLER columns: periods fall
+    back to the PSRPARAM F0/F1 spin model; FITS round-trips after
+    column edits stay consistent (structural cards are regenerated)."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io import fits
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.io.psrfits import read_psrfits
+    from pulseportraiture_tpu.models.gmodel_io import write_model
+    from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+
+    par = tmp_path / "f.par"
+    par.write_text("PSR J2\nRAJ 01:02:03\nDECJ 04:05:06\n"
+                   "F0 345.6789012345\nF1 -1.2346D-13\n"
+                   "PEPOCH 50000\nDM 10.0\n")
+    gm = str(tmp_path / "f.gmodel")
+    write_model(gm, "F", "000", 1500.0,
+                [0.0, 0.0, 0.3, 0.0, 0.05, 0.0, 3.0, -1.0], [1] * 8,
+                -4.0, 0, quiet=True)
+    orig = str(tmp_path / "orig.fits")
+    make_fake_pulsar(gm, str(par), outfile=orig, nsub=2, npol=1, nchan=8,
+                     nbin=64, nu0=1500.0, bw=400.0, tsub=30.0, dDM=0.0,
+                     start_MJD=MJD(57202.0), noise_stds=0.1,
+                     dedispersed=True, quiet=True,
+                     rng=np.random.default_rng(0))
+    hdus = fits.read_fits(orig)
+    for h in hdus:
+        if h.name == "SUBINT":
+            h.columns.pop("PERIOD")
+            h.columns.pop("DOPPLER")
+    foreign = str(tmp_path / "foreign.fits")
+    fits.write_fits(foreign, hdus)
+    a0 = read_psrfits(orig)
+    a1 = read_psrfits(foreign)
+    np.testing.assert_allclose(a1.Ps, a0.Ps, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(a1.data, a0.data)
+    assert a1.doppler_factors is None
