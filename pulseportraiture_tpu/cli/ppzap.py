@@ -34,6 +34,10 @@ def build_parser():
                    help="normalize noise levels before clipping")
     p.add_argument("--print_cmds", action="store_true",
                    help="print paz-style commands instead of writing")
+    p.add_argument("--showplot", action="store_true",
+                   help="model path: show the channel red-chi2 histogram")
+    p.add_argument("--saveplot", default=None,
+                   help="model path: save the histogram to this file")
     p.add_argument("--quiet", action="store_true")
     from pulseportraiture_tpu.cli import add_common_args
     return add_common_args(p)
@@ -54,6 +58,28 @@ def main(argv=None):
         zaps = zap_channels_from_fit(
             gt, SNR_threshold=args.snr_threshold,
             rchi2_threshold=args.rchi2_threshold)
+        if args.showplot or args.saveplot:
+            # red-chi2 histogram with the threshold marked
+            # (reference ppzap.py model path)
+            import matplotlib
+            if not args.showplot:
+                matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+            rchi2s = np.concatenate(
+                [np.asarray(r) for arch in gt.channel_red_chi2s
+                 for r in arch]) if gt.channel_red_chi2s else np.array([])
+            fig, ax = plt.subplots()
+            ax.hist(rchi2s[np.isfinite(rchi2s)], bins=30, color="gray")
+            ax.axvline(args.rchi2_threshold, color="r", ls="--",
+                       label=f"threshold {args.rchi2_threshold}")
+            ax.set_xlabel("Channel reduced chi2")
+            ax.legend()
+            if args.saveplot:
+                fig.savefig(args.saveplot)
+            if args.showplot:
+                plt.show()
+            plt.close(fig)
         for iarch, arch_zaps in enumerate(zaps):
             for ii, zap in enumerate(arch_zaps):
                 isub = gt.ok_isubs[iarch][ii]
