@@ -197,3 +197,18 @@ def test_narrowband_scattering_fit(workspace):
         exp_us = 3e-5 * (toa.frequency / 1500.0) ** -4 * 1e6
         assert 0.3 * exp_us < toa.flags["scat_time"] < 3 * exp_us, \
             (toa.frequency, toa.flags["scat_time"], exp_us)
+
+
+def test_fits_archive_as_model_template(workspace):
+    """An aligned+averaged archive can serve directly as the model
+    (reference pptoas.py:320-339 FITS-template path)."""
+    ws, par, gmodel = workspace
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=2, nsub=2, noise=0.2)
+    port_file = str(ws / "tmpl.port")
+    align_archives(datafiles=files, initial_guess=files[0], tscrunch=True,
+                   outfile=port_file, niter=1, quiet=True)
+    gt = GetTOAs([files[0]], port_file, quiet=True)
+    gt.get_TOAs(quiet=True)
+    assert len(gt.TOA_list) == 2
+    for toa in gt.TOA_list:
+        assert toa.flags["gof"] < 2.0, toa.flags["gof"]
