@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--scat_guess", default=None,
                    help="tau[s],freq[MHz],index initial guess, "
                         "comma-separated")
+    p.add_argument("--nu_tau", type=float, default=None,
+                   help="output reference frequency for the scattering "
+                        "timescale [MHz]")
     p.add_argument("--fix_alpha", action="store_true", default=True,
                    help="hold the scattering index fixed (default)")
     p.add_argument("--fit_alpha", dest="fix_alpha", action="store_false",
@@ -91,8 +94,10 @@ def main(argv=None):
             addtnl[k] = v
 
     nu_refs = None
-    if args.nu_ref is not None:
-        nu_refs = (args.nu_ref, args.nu_ref, args.nu_ref)
+    if args.nu_ref is not None or args.nu_tau is not None:
+        base = args.nu_ref
+        nu_refs = (base, base,
+                   args.nu_tau if args.nu_tau is not None else base)
 
     gt = GetTOAs(args.datafiles, args.modelfile, quiet=args.quiet)
     if args.narrowband:
