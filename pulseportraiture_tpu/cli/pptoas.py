@@ -58,6 +58,8 @@ def build_parser():
                    help="add -phs/-phs_err flags to TOA lines")
     p.add_argument("--print_flux", action="store_true",
                    help="add -flux/-flux_err flags to TOA lines")
+    p.add_argument("--print_parangle", action="store_true",
+                   help="add the parallactic angle to TOA lines")
     p.add_argument("--flags", default=None,
                    help="additional TOA flags: name1=val1,name2=val2,...")
     p.add_argument("--snr_cut", type=float, default=0.0,
@@ -107,6 +109,7 @@ def main(argv=None):
                                scat_guess=scat_guess,
                                print_phase=args.print_phase,
                                print_flux=args.print_flux,
+                               print_parangle=args.print_parangle,
                                addtnl_toa_flags=addtnl)
     else:
         gt.get_TOAs(tscrunch=args.tscrunch, nu_refs=nu_refs, DM0=args.DM0,
@@ -114,7 +117,9 @@ def main(argv=None):
                     fit_GM=args.fit_dt4, fit_scat=args.fit_scat,
                     log10_tau=not args.no_logscat, scat_guess=scat_guess,
                     fix_alpha=args.fix_alpha, print_phase=args.print_phase,
-                    print_flux=args.print_flux, addtnl_toa_flags=addtnl)
+                    print_flux=args.print_flux,
+                    print_parangle=args.print_parangle,
+                    addtnl_toa_flags=addtnl)
 
     if (args.showplot or args.saveplot) and not args.narrowband:
         for iarch, df in enumerate(gt.order):

@@ -28,6 +28,22 @@ from pulseportraiture_tpu.utils import weighted_mean
 _DEFAULT_SCAT_GUESS = (1e-5, 1500.0, -4.0)
 
 
+def _parallactic_angle_for(data, epoch):
+    """Parallactic angle [deg] from the archive's ephemeris + telescope
+    (reference print_parangle, pptoas.py:1081-1082; NaN when unknown)."""
+    try:
+        from pulseportraiture_tpu.io.par import parse_par
+        from pulseportraiture_tpu.io.parang import parallactic_angle
+        eph = getattr(data.arch, "ephemeris_lines", None)
+        if not eph:
+            return float("nan")
+        par = parse_par(eph)
+        return round(parallactic_angle(data.telescope, par.RAJ, par.DECJ,
+                                       epoch.in_days()), 4)
+    except (AttributeError, ValueError):
+        return float("nan")
+
+
 def _resolve_datafiles(datafiles):
     """A single archive path or a metafile listing archives."""
     if isinstance(datafiles, (list, tuple)):
@@ -166,6 +182,7 @@ class GetTOAs:
                  DM0=None, bary=True, fit_DM=True, fit_GM=False,
                  fit_scat=False, log10_tau=True, scat_guess=None,
                  fix_alpha=True, print_phase=False, print_flux=False,
+                 print_parangle=False,
                  add_instrumental_response=False,
                  addtnl_toa_flags=None, method="trust-ncg", bounds=None,
                  nu_fits=None, show_plot=False, quiet=None):
@@ -441,6 +458,10 @@ class GetTOAs:
                 if print_flux:
                     flags["flux"] = float(flux)
                     flags["flux_err"] = float(flux_err)
+                if print_parangle:
+                    pa = _parallactic_angle_for(data, epoch)
+                    if pa == pa:  # not NaN
+                        flags["par_angle"] = pa
                 flags.update(addtnl_toa_flags)
                 toa = TOA(df, float(res.nu_DM), toa_mjd, toa_err_us,
                           data.telescope, data.telescope_code,
@@ -539,6 +560,7 @@ class GetTOAs:
                             fit_scat=False, log10_tau=True,
                             scat_guess=None,
                             print_phase=False, print_flux=False,
+                            print_parangle=False,
                             addtnl_toa_flags=None, quiet=None):
         """Per-channel (narrowband) TOAs via batched FFTFIT.
 
@@ -658,6 +680,10 @@ class GetTOAs:
                                               model_means[ix])
                         flags["flux_err"] = float(
                             abs(scale_errs[ix]) * model_means[ix])
+                    if print_parangle:
+                        pa = _parallactic_angle_for(data, epoch)
+                        if pa == pa:
+                            flags["par_angle"] = pa
                     flags.update(addtnl_toa_flags)
                     toa = TOA(df, float(freqs[ichan]), toa_mjd,
                               float(toa_err_us), data.telescope,

@@ -172,3 +172,24 @@ def test_foreign_psrfits_missing_period_column(tmp_path):
     np.testing.assert_allclose(a1.Ps, a0.Ps, rtol=0, atol=1e-11)
     np.testing.assert_allclose(a1.data, a0.data)
     assert a1.doppler_factors is None
+
+
+def test_parallactic_angle_sanity():
+    """GMST/parallactic-angle formulas: transiting source has q ~ 0 for
+    a northern site with dec < lat; unknown telescopes give NaN."""
+    import math
+
+    from pulseportraiture_tpu.io.parang import (gmst_deg,
+                                                parallactic_angle,
+                                                hms_to_deg, dms_to_deg)
+
+    assert abs(hms_to_deg("12:00:00") - 180.0) < 1e-12
+    assert abs(dms_to_deg("-30:30:00") + 30.5) < 1e-12
+    # GMST at J2000.0 epoch (MJD 51544.5) is ~280.46 deg
+    assert abs(gmst_deg(51544.5) - 280.46061837) < 1e-6
+    # find the transit (hour angle 0) by scanning a day: q crosses 0
+    qs = [parallactic_angle("GBT", "05:00:00", "20:00:00",
+                            55000.0 + f / 24.0) for f in range(24)]
+    assert min(qs) < 0 < max(qs)
+    pa = parallactic_angle("NOT_A_SCOPE", "05:00:00", "20:00:00", 55000.0)
+    assert pa != pa  # NaN
