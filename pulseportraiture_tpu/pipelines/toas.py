@@ -320,6 +320,13 @@ class GetTOAs:
                     continue
                 for lo in range(0, len(items), chunk):
                     part = items[lo:lo + chunk]
+                    npart = len(part)
+                    # pad the remainder chunk to the full chunk size
+                    # (duplicate items) so every chunk shares one compiled
+                    # executable — a second XLA compile costs far more
+                    # than the wasted lanes
+                    if lo > 0 and npart < chunk:
+                        part = part + [part[-1]] * (chunk - npart)
                     t0 = time.time()
                     bres = fit_portrait_full_batch(
                         jnp.asarray(np.stack(
@@ -338,8 +345,8 @@ class GetTOAs:
                         fit_flags=fit_flags, log10_tau=log10_tau,
                         scattering=None if fit_scat else False)
                     jax.block_until_ready(bres.params)
-                    dur = (time.time() - t0) / len(part)
-                    for i, (iarch, p) in enumerate(part):
+                    dur = (time.time() - t0) / npart
+                    for i, (iarch, p) in enumerate(part[:npart]):
                         results[(iarch, p["isub"])] = (
                             jax.tree_util.tree_map(lambda x, i=i: x[i],
                                                    bres), dur)
