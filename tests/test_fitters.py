@@ -204,3 +204,38 @@ def test_nu_zeros_decorrelate_other_branches():
         denom = np.sqrt(abs(cov[i, i] * cov[j, j]))
         corr = cov[i, j] / denom if denom > 0 else 0.0
         assert abs(corr) < 5e-2, (ff, corr)
+
+
+def test_base_rotation_equivalence():
+    """Fitting base-rotated data for dDM equals fitting the original for
+    the full DM (the pipelines' float32-precision parameterization):
+    DM_base + dDM == DM_full and phases agree after the f64 transport."""
+    from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
+
+    model, freqs = make_model(nchan=16, nbin=256)
+    model = np.asarray(model)
+    freqs_np = np.asarray(freqs)
+    P = 0.004
+    DM_full, phi_in = 30.0 + 2.4e-4, 0.0123
+    nu_fit = float(freqs_np.mean())
+    data = rotate_portrait_np(model, -phi_in, -DM_full, P, freqs_np,
+                              nu_fit)
+    errs = jnp.full(16, 1e-3)
+    # direct full-DM fit
+    res_a, _ = fit_portrait_full(
+        jnp.asarray(data), jnp.asarray(model),
+        jnp.asarray([0.0, 30.0, 0.0, 0.0, 0.0]), P, freqs,
+        nu_fits=(nu_fit,) * 3, nu_outs=(nu_fit,) * 3, errs=errs,
+        fit_flags=(1, 1, 0, 0, 0), log10_tau=False, scattering=False)
+    # base-rotated dDM fit
+    base = 30.0
+    data_rot = rotate_portrait_np(data, 0.0, base, P, freqs_np, nu_fit)
+    res_b, _ = fit_portrait_full(
+        jnp.asarray(data_rot), jnp.asarray(model), jnp.zeros(5), P, freqs,
+        nu_fits=(nu_fit,) * 3, nu_outs=(nu_fit,) * 3, errs=errs,
+        fit_flags=(1, 1, 0, 0, 0), log10_tau=False, scattering=False)
+    assert abs((base + float(res_b.DM)) - float(res_a.DM)) < 1e-10
+    # at nu_fit the base rotation is anchored: phases agree directly
+    assert abs(float(res_b.phi) - float(res_a.phi)) < 1e-9
+    assert abs(float(res_a.DM) - DM_full) < 1e-8
+    assert abs(float(res_a.phi) - phi_in) < 1e-9
