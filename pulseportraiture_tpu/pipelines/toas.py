@@ -345,11 +345,14 @@ class GetTOAs:
                         fit_flags=fit_flags, log10_tau=log10_tau,
                         scattering=None if fit_scat else False)
                     jax.block_until_ready(bres.params)
+                    # one device->host transfer per chunk; assembly then
+                    # reads plain numpy (no per-field device syncs)
+                    bres_np = jax.device_get(bres)
                     dur = (time.time() - t0) / npart
                     for i, (iarch, p) in enumerate(part[:npart]):
                         results[(iarch, p["isub"])] = (
                             jax.tree_util.tree_map(lambda x, i=i: x[i],
-                                                   bres), dur)
+                                                   bres_np), dur)
 
         # ---- assembly pass (per archive) ----
         for iarch, job in enumerate(arch_jobs):
