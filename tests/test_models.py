@@ -244,3 +244,31 @@ def test_gen_spline_portrait_zero_components():
                                           None))
     assert port.shape == (5, 64)
     np.testing.assert_allclose(port, np.tile(mean, (5, 1)))
+
+
+def test_fit_parametric_spline_matches_scipy_splprep_evaluation():
+    """Our penalized-LS spline and FITPACK's splprep agree where it
+    matters: the evaluated curve (knot placement may differ;
+    SURVEY.md section 7 'hard parts')."""
+    rng = np.random.default_rng(3)
+    u = np.linspace(1100.0, 1900.0, 48)
+    truth = np.stack([np.sin(u / 250.0), 0.5 * np.cos(u / 400.0)])
+    noisy = truth + rng.normal(0, 0.01, truth.shape)
+    w = np.full(len(u), 1.0 / 0.01)
+    s_target = len(u)  # FITPACK-style smoothing target
+    tck_sp, _ = si.splprep(list(noisy), u=u, w=w, k=3, s=s_target)
+    from pulseportraiture_tpu.models.spline import (fit_parametric_spline,
+                                                    splev)
+    tck_pp, _ = fit_parametric_spline(u, noisy, weights=w, k=3,
+                                      s=s_target)
+    ue = np.linspace(u[0], u[-1], 300)
+    ours = np.asarray(splev(ue, tck_pp))
+    theirs = np.stack(si.splev(ue, tck_sp))
+    # smoothing fits with different knot placements diverge most at the
+    # endpoints; the parity statement is interior agreement at the noise
+    # scale plus global truth-tracking
+    interior = slice(30, 270)
+    assert np.max(np.abs(ours - theirs)[:, interior]) < 5e-3, \
+        np.max(np.abs(ours - theirs)[:, interior])
+    truth_e = np.stack([np.sin(ue / 250.0), 0.5 * np.cos(ue / 400.0)])
+    assert np.max(np.abs(ours - truth_e)) < 2e-2
