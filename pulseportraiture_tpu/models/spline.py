@@ -210,6 +210,23 @@ def fit_parametric_spline(u, points, weights=None, k=3, s=None,
         fp = float((weights ** 2 * (resid ** 2).sum(0)).sum())
         return coefs, fp
 
+    def fit_penalized(t, lam):
+        """Weighted LSQ with a second-difference coefficient penalty
+        (discrete thin-plate ridge), FITPACK's continuous smoothing
+        control at a fixed knot set."""
+        B = _bspline_basis(u, t, k)
+        Bw = B * weights[:, None]
+        ncoef = B.shape[1]
+        D = np.diff(np.eye(ncoef), n=2, axis=0)
+        A = Bw.T @ Bw + lam * (D.T @ D)
+        coefs = np.zeros((ndim, ncoef))
+        for d in range(ndim):
+            rhs = Bw.T @ (weights * points[d])
+            coefs[d] = np.linalg.lstsq(A, rhs, rcond=None)[0]
+        resid = points - coefs @ B.T
+        fp = float((weights ** 2 * (resid ** 2).sum(0)).sum())
+        return coefs, fp
+
     interior = np.array([])
     t = knots_with_interior(interior)
     coefs, fp = fit_with_knots(t)
@@ -226,6 +243,28 @@ def fit_parametric_spline(u, points, weights=None, k=3, s=None,
         interior = np.quantile(u, qs)
         t = knots_with_interior(interior)
         coefs, fp = fit_with_knots(t)
+
+    if fp < s and len(interior):
+        # knot insertion overshot the target: bisect a ridge penalty so
+        # the residual lands ON s (FITPACK solves for its smoothing
+        # parameter p the same way; avoids undersmoothing by up to one
+        # knot batch)
+        lo, hi = 0.0, 1.0
+        _, fp_hi = fit_penalized(t, hi)
+        grow = 0
+        while fp_hi < s and grow < 60:
+            hi *= 4.0
+            _, fp_hi = fit_penalized(t, hi)
+            grow += 1
+        if fp_hi >= s:
+            for _ in range(40):
+                mid = 0.5 * (lo + hi)
+                c_mid, fp_mid = fit_penalized(t, mid)
+                if fp_mid < s:
+                    lo = mid
+                else:
+                    hi = mid
+            coefs, fp = fit_penalized(t, lo)
     return (jnp.asarray(t), jnp.asarray(coefs), k), fp
 
 
