@@ -65,6 +65,7 @@ class _ModelSource:
     def __init__(self, modelfile):
         self.modelfile = modelfile
         self.kind, self.payload = self._sniff(modelfile)
+        self._cache = {}
 
     @staticmethod
     def _sniff(modelfile):
@@ -88,7 +89,27 @@ class _ModelSource:
         return self.payload[0]
 
     def eval(self, phases, freqs, P):
-        """Model portrait (nchan, nbin) at the given grid."""
+        """Model portrait (nchan, nbin) at the given grid.
+
+        Evaluations are cached: within an archive (and usually a whole
+        campaign) subints share the frequency grid, and only Gaussian
+        models with nonzero scattering depend on P at all.
+        """
+        import jax.numpy as jnp
+        nbin = len(phases)
+        p_sensitive = self.kind == "gauss" and self.payload[4][1] != 0
+        key = (np.asarray(freqs).tobytes(), nbin,
+               round(float(P), 12) if p_sensitive else None)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._eval(phases, freqs, P)
+        if len(self._cache) > 64:
+            self._cache.clear()
+        self._cache[key] = out
+        return out
+
+    def _eval(self, phases, freqs, P):
         import jax.numpy as jnp
         nbin = len(phases)
         if self.kind == "gauss":
