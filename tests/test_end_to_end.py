@@ -212,3 +212,22 @@ def test_fits_archive_as_model_template(workspace):
     assert len(gt.TOA_list) == 2
     for toa in gt.TOA_list:
         assert toa.flags["gof"] < 2.0, toa.flags["gof"]
+
+
+def test_align_final_transforms(workspace):
+    """norm/place/smooth options of align_archives (ppalign.py:216-243)."""
+    ws, par, gmodel = workspace
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=2, nsub=1, noise=0.2)
+    out = str(ws / "placed.port")
+    align_archives(datafiles=files, initial_guess=files[0], tscrunch=True,
+                   outfile=out, niter=1, norm="max", place=0.5,
+                   quiet=True)
+    from pulseportraiture_tpu.io.psrfits import read_psrfits
+    arch = read_psrfits(out)
+    prof = arch.data[0, 0].mean(0)
+    peak_phase = (np.argmax(prof) + 0.5) / len(prof)
+    assert abs(peak_phase - 0.5) < 0.05, peak_phase
+    # norm='max': every live channel peaks at ~1
+    live = arch.weights[0] > 0
+    maxes = arch.data[0, 0][live].max(-1)
+    assert np.all(np.abs(maxes - 1.0) < 0.5), maxes
