@@ -90,6 +90,23 @@ def main(argv=None):
                 elif not args.quiet:
                     print(f"{gt.order[iarch]} subint {isub}: "
                           f"zap channels {zap}")
+        # apply the mask and write the archive (first/only datafile)
+        if not args.print_cmds:
+            from pulseportraiture_tpu.io.archive import (load_data,
+                                                         unload_new_archive)
+            data = load_data(args.datafile, rm_baseline=False, quiet=True)
+            weights = data.weights.copy()
+            for ii, zap in enumerate(zaps[0]):
+                isub = gt.ok_isubs[0][ii]
+                if args.per_subint:
+                    weights[isub, zap] = 0.0
+                else:
+                    weights[:, zap] = 0.0
+            unload_new_archive(data.subints, data.arch, outfile,
+                               DM=data.DM, dmc=int(data.dmc),
+                               weights=weights, quiet=args.quiet)
+            if not args.quiet:
+                print(f"wrote {outfile}")
         return 0
 
     from pulseportraiture_tpu.pipelines.zap import zap_archive

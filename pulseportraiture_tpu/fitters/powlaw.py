@@ -30,12 +30,16 @@ def fit_powlaw(data, init_params, errs, freqs, nu_ref):
                               jnp.ones(2))
     import jax
     J = np.asarray(jax.jacfwd(residual)(res.x))
+    dof = data.shape[0] - 2
     try:
         cov = np.linalg.inv(J.T @ J)
-        perr = np.sqrt(np.clip(np.diag(cov), 0, None))
+        # lmfit's default scale_covar=True: stderr scaled by red_chi2
+        # (the reference's fit_powlaw uses lmfit defaults,
+        # pplib.py:1787)
+        scale = float(res.chi2) / max(dof, 1)
+        perr = np.sqrt(np.clip(np.diag(cov) * scale, 0, None))
     except np.linalg.LinAlgError:
         perr = np.zeros(2)
-    dof = data.shape[0] - 2
     residuals = np.asarray(residual(res.x)) * np.asarray(errs_b)
     return DataBunch(alpha=float(res.x[1]), alpha_err=float(perr[1]),
                      amp=float(res.x[0]), amp_err=float(perr[0]),

@@ -181,9 +181,22 @@ def _write_table(f, hdu):
     cards = [("XTENSION", "BINTABLE"), ("BITPIX", 8), ("NAXIS", 2),
              ("NAXIS1", row_bytes), ("NAXIS2", nrow), ("PCOUNT", 0),
              ("GCOUNT", 1), ("TFIELDS", len(names))]
+    # per-column metadata (TUNIT/TDIM) from a previously read header,
+    # remapped by column NAME so edits that renumber columns stay valid
+    old_index = {}
+    for k, v in hdu.header.items():
+        m = re.match(r"^TTYPE(\d+)$", k)
+        if m:
+            old_index[str(v).strip()] = m.group(1)
     for i, (name, tform, _) in enumerate(specs):
         cards.append((f"TTYPE{i + 1}", name))
         cards.append((f"TFORM{i + 1}", tform))
+        oi = old_index.get(name)
+        if oi is not None:
+            for meta in ("TUNIT", "TDIM"):
+                val = hdu.header.get(f"{meta}{oi}")
+                if val is not None:
+                    cards.append((f"{meta}{i + 1}", val))
     cards.append(("EXTNAME", hdu.name))
     cards += [(k, v) for k, v in hdu.header.items()
               if not _is_structural(k)]

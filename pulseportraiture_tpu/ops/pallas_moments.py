@@ -61,25 +61,24 @@ def _phase_moments_impl(phis, Gr, Gi, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert Gr.ndim == 2, "2-D (nchan, nharm) only; vmap for batches"
     orig_dtype = Gr.dtype
     phis = phis.astype(jnp.float32)
     Gr = Gr.astype(jnp.float32)
     Gi = Gi.astype(jnp.float32)
-    nchan, nharm = Gr.shape[-2], Gr.shape[-1]
+    nchan, nharm = Gr.shape
     # pad channels to the block size
     pad = (-nchan) % _CBLK
     if pad:
-        pz = [(0, 0)] * (Gr.ndim - 2) + [(0, pad), (0, 0)]
-        Gr = jnp.pad(Gr, pz)
-        Gi = jnp.pad(Gi, pz)
-        phis = jnp.pad(phis, [(0, 0)] * (phis.ndim - 1) + [(0, pad)])
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
     ntot = nchan + pad
     grid = (ntot // _CBLK,)
 
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct(Gr.shape[:-2] + (ntot, 3),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntot, 3), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_CBLK, 1), lambda i: (i, 0),
@@ -193,22 +192,21 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert Gr.ndim == 2, "2-D (nchan, nharm) only; vmap for batches"
     orig_dtype = Gr.dtype
     phis = phis.astype(jnp.float32)
     taus = taus.astype(jnp.float32)
     Gr = Gr.astype(jnp.float32)
     Gi = Gi.astype(jnp.float32)
     M2 = M2.astype(jnp.float32)
-    nchan, nharm = Gr.shape[-2], Gr.shape[-1]
+    nchan, nharm = Gr.shape
     pad = (-nchan) % _CBLK
     if pad:
-        pz = [(0, 0)] * (Gr.ndim - 2) + [(0, pad), (0, 0)]
-        Gr = jnp.pad(Gr, pz)
-        Gi = jnp.pad(Gi, pz)
-        M2 = jnp.pad(M2, pz)
-        pv = [(0, 0)] * (phis.ndim - 1) + [(0, pad)]
-        phis = jnp.pad(phis, pv)
-        taus = jnp.pad(taus, pv)
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        M2 = jnp.pad(M2, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
+        taus = jnp.pad(taus, [(0, pad)])
     ntot = nchan + pad
     grid = (ntot // _CBLK,)
     spec1 = pl.BlockSpec((_CBLK, 1), lambda i: (i, 0),
@@ -217,8 +215,7 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _scat_kernel,
-        out_shape=jax.ShapeDtypeStruct(Gr.shape[:-2] + (ntot, 9),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ntot, 9), jnp.float32),
         grid=grid,
         in_specs=[spec1, spec1, specH, specH, specH],
         out_specs=pl.BlockSpec((_CBLK, 9), lambda i: (i, 0),

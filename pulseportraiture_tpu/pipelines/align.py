@@ -97,6 +97,7 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
     tmpl_freqs = tmpl_data.freqs[0]
     nchan_t, nbin = template.shape
 
+    niter = max(1, int(niter))
     npol_out = 1 if pscrunch else 4
     load_cache = []
     for f in datafiles:
@@ -133,6 +134,7 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                                     for f in freqs])
                     model = template[idx]
                 else:
+                    idx = None
                     model = template
                 DM_guess = data.DM if not data.dmc else 0.0
                 nu_fit = float(guess_fit_freq(
@@ -179,8 +181,17 @@ def align_archives(metafile=None, datafiles=None, initial_guess=None,
                             freqs, nu_fit)
                     rotated = rotate_portrait_np(pol_base, phi, dDM_fit,
                                                  P, freqs, nu_fit)
-                    aligned[ipol] += rotated * w[:, None]
-                wsum += w
+                    if idx is None:
+                        aligned[ipol] += rotated * w[:, None]
+                    else:
+                        # scatter-add into the matched template rows
+                        # (grids differ; duplicates accumulate)
+                        np.add.at(aligned[ipol], idx,
+                                  rotated * w[:, None])
+                if idx is None:
+                    wsum += w
+                else:
+                    np.add.at(wsum, idx, w)
         aligned = aligned / np.where(wsum > 0, wsum, 1.0)[None, :, None]
         template = aligned[0]
 

@@ -88,28 +88,34 @@ class _ModelSource:
             return self.payload.source
         return self.payload[0]
 
-    def eval(self, phases, freqs, P):
+    def eval(self, phases, freqs, P, unscat=False):
         """Model portrait (nchan, nbin) at the given grid.
 
+        unscat=True evaluates a Gaussian model with its intrinsic
+        scattering zeroed — required when the fit measures tau itself,
+        else the kernel would be applied twice (reference zeroes the
+        model tau, pptoas.py:365-375).
+
         Evaluations are cached: within an archive (and usually a whole
-        campaign) subints share the frequency grid, and only Gaussian
-        models with nonzero scattering depend on P at all.
+        campaign) subints share the frequency grid, and only scattered
+        Gaussian models depend on P at all.
         """
         import jax.numpy as jnp
         nbin = len(phases)
-        p_sensitive = self.kind == "gauss" and self.payload[4][1] != 0
-        key = (np.asarray(freqs).tobytes(), nbin,
+        p_sensitive = (self.kind == "gauss" and self.payload[4][1] != 0
+                       and not unscat)
+        key = (np.asarray(freqs).tobytes(), nbin, bool(unscat),
                round(float(P), 12) if p_sensitive else None)
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        out = self._eval(phases, freqs, P)
+        out = self._eval(phases, freqs, P, unscat)
         if len(self._cache) > 64:
             self._cache.clear()
         self._cache[key] = out
         return out
 
-    def _eval(self, phases, freqs, P):
+    def _eval(self, phases, freqs, P, unscat=False):
         import jax.numpy as jnp
         nbin = len(phases)
         if self.kind == "gauss":
@@ -118,7 +124,9 @@ class _ModelSource:
             from pulseportraiture_tpu.models.gaussian import \
                 gen_gaussian_portrait
             p = np.array(params)
-            if p[1] != 0:
+            if unscat:
+                p[1] = 0.0
+            elif p[1] != 0:
                 p[1] *= nbin / P
             return np.asarray(gen_gaussian_portrait(
                 model_code, jnp.asarray(p), alpha, phases, freqs, nu_ref))
@@ -228,6 +236,7 @@ class GetTOAs:
         else:
             fit_flags = (1, int(fit_DM), int(fit_GM), 0, 0)
         self.log10_tau = log10_tau = log10_tau and fit_scat
+        self.bary = bary
 
         arch_jobs = []
         for idf, df in enumerate(datafiles):
@@ -256,7 +265,8 @@ class GetTOAs:
                 SNRsx = data.SNRs[isub, 0][okc]
                 errs = np.where(weights > 0, errs_all, 0.0)
 
-                model = self.model_source.eval(data.phases, freqs, P)
+                model = self.model_source.eval(data.phases, freqs, P,
+                                               unscat=fit_scat)
                 if add_instrumental_response and \
                         (self.ird["DM"] or len(self.ird["wids"])):
                     # convolve the model with the instrumental response
@@ -773,8 +783,12 @@ class GetTOAs:
         port = np.array(data.subints[isub, 0])
         model = self.model_source.eval(data.phases, freqs, P)
         phi = self.phis[iarch][ii]
-        DM = self.DMs[iarch][ii] / data.doppler_factors[isub]
-        GM = self.GMs[iarch][ii] / data.doppler_factors[isub] ** 3
+        # stored DMs are barycentric only when get_TOAs ran with
+        # bary=True (reference pptoas.py:1355-1357)
+        df_dop = data.doppler_factors[isub] if getattr(self, "bary",
+                                                       True) else 1.0
+        DM = self.DMs[iarch][ii] / df_dop
+        GM = self.GMs[iarch][ii] / df_dop ** 3
         nu_DM, nu_GM, nu_tau = self.nu_refs[iarch][ii]
         tau = self.taus[iarch][ii]
         tau_lin = 10.0 ** tau if getattr(self, "log10_tau", False) else tau

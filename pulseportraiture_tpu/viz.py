@@ -113,11 +113,11 @@ def show_residual_plot(port, model, phases=None, freqs=None, errs=None,
         freqs = np.arange(nchan)
     extent = (phases[0], phases[-1], np.min(freqs), np.max(freqs))
     fig, axes = plt.subplots(2, 2, figsize=(10, 8))
-    for ax, dataset, title in zip(axes.flat[:3], (port, model, resid),
-                                  titles):
+    for ax, dataset, panel_title in zip(axes.flat[:3],
+                                        (port, model, resid), titles):
         ax.imshow(dataset, aspect="auto", origin="lower", extent=extent,
                   **kwargs)
-        ax.set_title(title)
+        ax.set_title(panel_title)
         ax.set_xlabel("Phase [rot]")
         ax.set_ylabel("Freq [MHz]")
     if errs is None:

@@ -231,3 +231,31 @@ def test_align_final_transforms(workspace):
     live = arch.weights[0] > 0
     maxes = arch.data[0, 0][live].max(-1)
     assert np.all(np.abs(maxes - 1.0) < 0.5), maxes
+
+
+def test_fit_scat_with_scattered_gmodel_measures_total_tau(workspace):
+    """When the .gmodel itself has nonzero TAU, fit_scat must measure
+    the TOTAL scattering (model tau zeroed before fitting, reference
+    pptoas.py:365-375), not convolve the kernel twice."""
+    ws, par, gmodel = workspace
+    # model with intrinsic tau = 20 us at 1500 MHz
+    scat_gmodel = str(ws / "scat.gmodel")
+    write_model(scat_gmodel, "S", "000", 1500.0,
+                [0.0, 2e-5] + MODEL_PARAMS[2:],
+                [1] * len(MODEL_PARAMS), -4.0, 0, quiet=True)
+    rng = np.random.default_rng(21)
+    path = str(ws / "scatdata.fits")
+    make_fake_pulsar(scat_gmodel, par, outfile=path, nsub=1, npol=1,
+                     nchan=32, nbin=256, nu0=1500.0, bw=800.0, tsub=60.0,
+                     dDM=0.0, start_MJD=MJD(57202.0), noise_stds=0.2,
+                     dedispersed=True, quiet=True, rng=rng)
+    gt = GetTOAs([path], scat_gmodel, quiet=True)
+    gt.get_TOAs(fit_scat=True, scat_guess=(2e-5, 1500.0, -4.0),
+                quiet=True)
+    toa = gt.TOA_list[0]
+    # expected total tau ~ 20 us referenced near the fit frequency
+    nu_tau = toa.flags["scat_ref_freq"]
+    exp_us = 2e-5 * (nu_tau / 1500.0) ** -4 * 1e6
+    assert 0.5 * exp_us < toa.flags["scat_time"] < 1.5 * exp_us, \
+        (toa.flags["scat_time"], exp_us)
+    assert toa.flags["gof"] < 2.0
