@@ -36,14 +36,23 @@ def _py3ify(src):
                 re.match(r"^\s*print\s*$", line):
             indent = line[:len(line) - len(line.lstrip())]
             out.append(indent + "pass  # print")
-            # swallow backslash continuations of the print statement
-            while line.rstrip().endswith("\\") and i + 1 < len(lines):
+            # swallow continuations: trailing backslash or open parens
+            bal = line.count("(") - line.count(")")
+            while (line.rstrip().endswith("\\") or bal > 0) and \
+                    i + 1 < len(lines):
                 i += 1
                 line = lines[i]
+                bal += line.count("(") - line.count(")")
         else:
             out.append(line)
         i += 1
-    return "\n".join(out)
+    text = "\n".join(out)
+    # python2 integer divisions at known sites (SURVEY.md section 2b)
+    text = text.replace("(len(params) - 2) / 3", "(len(params) - 2) // 3")
+    text = text.replace("(len(params) - 2)/3", "(len(params) - 2)//3")
+    text = text.replace("nbin/2 + 1", "nbin//2 + 1")
+    text = text.replace("len(params)/2", "len(params)//2")
+    return text
 
 
 def _pplib_stub():
@@ -130,4 +139,46 @@ def load_reference_pptoaslib():
     exec(compile(src, "pptoaslib_ref.py", "exec"), ns)
     mod = types.SimpleNamespace(**ns)
     _cache["mod"] = mod
+    return mod
+
+
+def _extract_defs(src, names):
+    """Pull whole top-level `def name(...)` blocks out of a module
+    source (reference pplib is not importable as a whole)."""
+    lines = src.splitlines()
+    out = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        m = re.match(r"^def (\w+)\(", line)
+        if m and m.group(1) in names:
+            out.append(line)
+            i += 1
+            while i < len(lines) and (not lines[i] or
+                                      lines[i][0] in " \t#"):
+                out.append(lines[i])
+                i += 1
+        else:
+            i += 1
+    return "\n".join(out)
+
+
+def load_reference_pplib_generators():
+    """The reference's Gaussian-portrait generator chain, executable."""
+    if "gen" in _cache:
+        return _cache["gen"]
+    src = open(f"{REF}/pplib.py").read()
+    block = _py3ify(_extract_defs(src, {
+        "gaussian_profile", "gen_gaussian_profile",
+        "gen_gaussian_portrait", "power_law_evolution",
+        "linear_evolution", "evolve_parameter", "get_bin_centers",
+        "rotate_data"}))
+    pl = _pplib_stub()
+    ns = {"np": np, "fft": np.fft, "Dconst": pl.Dconst,
+          "scattering_times": pl.scattering_times,
+          "scattering_portrait_FT": pl.scattering_portrait_FT,
+          "binshift": 1.0}
+    exec(compile(block, "pplib_gen_ref.py", "exec"), ns)
+    mod = types.SimpleNamespace(**ns)
+    _cache["gen"] = mod
     return mod

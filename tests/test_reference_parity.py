@@ -134,3 +134,33 @@ def test_woodbury_covariance_matches_reference(problem):
         np.diag(np.asarray(ref_cov))[nfit:], rtol=1e-8)
     np.testing.assert_allclose(np.asarray(scales),
                                np.asarray(ref_scales), rtol=1e-11)
+
+
+def test_gen_gaussian_portrait_matches_reference():
+    """Evolving-Gaussian portrait generation vs the reference's own
+    pplib code: all evolution codes, with and without scattering."""
+    from reference_shim import load_reference_pplib_generators
+
+    from pulseportraiture_tpu.models.gaussian import gen_gaussian_portrait
+
+    ref = load_reference_pplib_generators()
+    nbin, nchan = 128, 8
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    phases = (np.arange(nbin) + 0.5) / nbin
+    params = np.array([0.01, 0.0, 0.3, -0.01, 0.05, -0.5, 4.0, -1.2,
+                       0.55, 0.004, 0.02, 0.8, 2.0, -0.7])
+    for code in ("000", "111", "010", "101"):
+        want = np.asarray(ref.gen_gaussian_portrait(
+            code, params, -4.0, phases, freqs, 1500.0))
+        got = np.asarray(gen_gaussian_portrait(
+            code, jnp.asarray(params), -4.0, jnp.asarray(phases),
+            jnp.asarray(freqs), 1500.0))
+        np.testing.assert_allclose(got, want, atol=5e-13, err_msg=code)
+    scat = params.copy()
+    scat[1] = 3.0  # tau [bins]
+    want = np.asarray(ref.gen_gaussian_portrait(
+        "000", scat, -4.0, phases, freqs, 1500.0))
+    got = np.asarray(gen_gaussian_portrait(
+        "000", jnp.asarray(scat), -4.0, jnp.asarray(phases),
+        jnp.asarray(freqs), 1500.0))
+    np.testing.assert_allclose(got, want, atol=5e-13)
