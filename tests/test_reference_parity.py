@@ -164,3 +164,47 @@ def test_gen_gaussian_portrait_matches_reference():
         "000", jnp.asarray(scat), -4.0, jnp.asarray(phases),
         jnp.asarray(freqs), 1500.0))
     np.testing.assert_allclose(got, want, atol=5e-13)
+
+
+def test_two_param_fit_functions_match_reference():
+    """The reference's SEPARATE 2-parameter implementation
+    (pplib.py:1282-1391) equals our 5-parameter core restricted to
+    (phi, DM) — objective, gradient, and phi/DM Hessian block."""
+    from reference_shim import REF as REFDIR
+    from reference_shim import _extract_defs, _py3ify
+
+    src = open(f"{REFDIR}/pplib.py").read()
+    block = _py3ify(_extract_defs(src, {
+        "fit_portrait_function", "fit_portrait_function_deriv",
+        "fit_portrait_function_2deriv"}))
+    ns = {"np": np, "Dconst": 0.000241 ** -1}
+    exec(compile(block, "pplib_fit_ref.py", "exec"), ns)
+
+    rng = np.random.default_rng(4)
+    nchan, nbin, P = 12, 128, 0.003
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model = np.abs(rng.normal(1, 0.3, (nchan, nbin)))
+    data = model + rng.normal(0, 0.05, model.shape)
+    errs = np.full(nchan, 0.05)
+    errs_FT = errs * np.sqrt(nbin / 2.0)
+    dFT = np.fft.rfft(data, axis=-1)
+    mFT = np.fft.rfft(model, axis=-1)
+    dFT[:, 0] = 0.0
+    mFT[:, 0] = 0.0
+    p_n = np.real(np.sum(mFT * np.conj(mFT), axis=1))
+    params = np.array([0.05, 2e-3])
+    ref_f = ns["fit_portrait_function"](params, mFT, p_n, dFT, errs_FT,
+                                        P, freqs, 1500.0)
+    ref_g = ns["fit_portrait_function_deriv"](params, mFT, p_n, dFT,
+                                              errs_FT, P, freqs, 1500.0)
+    setup = stats.make_setup(jnp.asarray(data), jnp.asarray(model),
+                             jnp.asarray(errs), P, jnp.asarray(freqs),
+                             1500.0, jnp.inf, 1500.0)
+    p5 = jnp.asarray([0.05, 2e-3, 0.0, 0.0, 0.0])
+    f, g, H = stats.chi2_value_grad_hess(p5, setup,
+                                         fit_flags=(1, 1, 0, 0, 0),
+                                         log10_tau=False,
+                                         scattering=False)
+    np.testing.assert_allclose(float(f), float(ref_f), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(g)[:2], np.asarray(ref_g),
+                               rtol=1e-12)
