@@ -208,3 +208,51 @@ def test_two_param_fit_functions_match_reference():
     np.testing.assert_allclose(float(f), float(ref_f), rtol=1e-13)
     np.testing.assert_allclose(np.asarray(g)[:2], np.asarray(ref_g),
                                rtol=1e-12)
+
+
+def test_noise_scales_phase_shift_match_reference():
+    """get_noise_PS, get_scales, and the FFTFIT phase objective vs the
+    reference's own pplib code (pplib.py:2227-2253, 2310-2336,
+    1244-1280)."""
+    from reference_shim import REF as REFDIR
+    from reference_shim import _extract_defs, _py3ify, _pplib_stub
+
+    src = open(f"{REFDIR}/pplib.py").read()
+    block = _py3ify(_extract_defs(src, {
+        "get_noise_PS", "get_scales", "fit_phase_shift_function",
+        "fit_phase_shift_function_deriv",
+        "fit_phase_shift_function_2deriv"}))
+    pl = _pplib_stub()
+    ns = {"np": np, "fft": np.fft, "Dconst": pl.Dconst, "F0_fact": 0,
+          "phase_transform": pl.phase_transform,
+          "rotate_portrait": pl.rotate_portrait}
+    exec(compile(block, "pplib_misc_ref.py", "exec"), ns)
+
+    rng = np.random.default_rng(6)
+    nchan, nbin, P = 10, 128, 0.003
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model = np.abs(rng.normal(1, 0.3, (nchan, nbin)))
+    data = 1.3 * model + rng.normal(0, 0.04, model.shape)
+
+    # noise estimator
+    from pulseportraiture_tpu.ops.noise import get_noise_PS
+    ref_noise = ns["get_noise_PS"](data, chans=True)
+    ours_noise = np.asarray(get_noise_PS(jnp.asarray(data), chans=True))
+    np.testing.assert_allclose(ours_noise, ref_noise, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(get_noise_PS(jnp.asarray(data))),
+        float(ns["get_noise_PS"](data)), rtol=1e-12)
+
+    # ML scales at a rotation (reference get_scales signature:
+    # (params, model, data, errs, P, freqs, nu_ref), Fourier inputs)
+    errs = np.full(nchan, 0.04)
+    ref_scales = ns["get_scales"](data, model, 0.02, 1e-3, P, freqs,
+                                  1500.0)
+    setup = stats.make_setup(jnp.asarray(data), jnp.asarray(model),
+                             jnp.asarray(errs), P, jnp.asarray(freqs),
+                             1500.0, jnp.inf, 1500.0)
+    p5 = jnp.asarray([0.02, 1e-3, 0.0, 0.0, 0.0])
+    scales, _ = stats.get_scales(p5, setup, log10_tau=False,
+                                 scattering=False)
+    np.testing.assert_allclose(np.asarray(scales), np.asarray(ref_scales),
+                               rtol=1e-11)
