@@ -352,12 +352,17 @@ class GetTOAs:
                 for lo in range(0, len(items), chunk):
                     part = items[lo:lo + chunk]
                     npart = len(part)
-                    # pad the remainder chunk to the full chunk size
-                    # (duplicate items) so every chunk shares one compiled
-                    # executable — a second XLA compile costs far more
-                    # than the wasted lanes
-                    if lo > 0 and npart < chunk:
-                        part = part + [part[-1]] * (chunk - npart)
+                    # bucket every chunk to the next power of two
+                    # (duplicate items): XLA compiles at most log2(chunk)
+                    # batch shapes ever, and campaigns of any size reuse
+                    # them — a fresh compile costs far more than the
+                    # wasted lanes
+                    bucket = 1
+                    while bucket < npart:
+                        bucket *= 2
+                    bucket = min(bucket, chunk)
+                    if npart < bucket:
+                        part = part + [part[-1]] * (bucket - npart)
                     t0 = time.time()
                     bres = fit_portrait_full_batch(
                         jnp.asarray(np.stack(
