@@ -126,7 +126,10 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         rho = actual / jnp.where(pred > 0.0, pred, 1e-300)
         accept = (pred > 0.0) & (rho > 0.15) & jnp.isfinite(f_new)
         pnorm = jnp.sqrt(jnp.sum(p ** 2))
-        radius = jnp.where(rho < 0.25, 0.25 * pnorm,
+        # a non-finite trial value (e.g. 10**tau overflow) must SHRINK
+        # the radius, or the same bad step is retried until max_iter
+        bad = ~jnp.isfinite(rho) | ~jnp.isfinite(f_new)
+        radius = jnp.where(bad | (rho < 0.25), 0.25 * pnorm,
                            jnp.where((rho > 0.75) & hit,
                                      jnp.minimum(2.0 * st.radius, max_radius),
                                      st.radius))

@@ -14,6 +14,16 @@ the per-channel Hessian.  All branch formulas follow the reference
   [1,1,1,1,0]  no alpha:      degree-5/4 polynomial in nu^2 (host roots)
   [1,1,1,1,1]  all:           approximated by the [1,1,0,1,1] formulas
 
+Where the reference divides per-channel Hessian entries by the phase/DM
+derivative or log-frequency ratio (pptoaslib.py:748, 756, 765, ...), we
+use the exact algebraic identities instead: DM/GM dependence enters only
+linearly through phi_n, so Hn[1,j] = phis_d[1] * Hn[0,j] and
+Hn[2,j] = phis_d[2] * Hn[0,j] per channel; likewise the alpha row is
+Hn[4,j] = (dtau_a/dtau_t) * Hn[3,j] with dtau_a = ln(nu/nu_tau) * taus.
+The quotients are therefore division-free — the reference's forms give
+0/0 = NaN whenever a channel frequency equals the fit reference (e.g.
+evenly spaced odd-nchan grids, where mean(freqs) IS the center channel).
+
 Polynomial branches use numpy roots on host (nonsymmetric eigensolves are
 unsupported on TPU); they run once per fit, outside the jitted hot loop.
 """
@@ -23,6 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from pulseportraiture_tpu.config import DCONST
 from pulseportraiture_tpu.fitters import stats
 from pulseportraiture_tpu.ops.transform import phase_shifts_deriv
 
@@ -38,34 +49,35 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
     Hn = stats.chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
                                      log10_tau=log10_tau)
     freqs = setup.freqs
-    phis_d = phase_shifts_deriv(freqs, setup.nu_DM, setup.nu_GM, setup.P)
     taus, dtau, _ = stats._taus_and_derivs(params, setup, log10_tau)
     nu_DM, nu_GM, nu_tau = setup.nu_DM, setup.nu_GM, setup.nu_tau
 
-    # ln(freqs/nu_tau) divisor used by the tau branches: taus_deriv[1]/taus
-    def _log_ratio():
-        return jnp.log(freqs / nu_tau)
+    # Hn[3,j]/ln(nu/nu_tau) == (taus/dtau_t) * Hn[3,j] with the alpha row
+    # substituted (identity above); guard dtau_t = 0 (tau == 0 exactly).
+    tau_row_fact = jnp.where(dtau[0] != 0.0,
+                             taus / jnp.where(dtau[0] != 0.0, dtau[0], 1.0),
+                             0.0)
 
     if ff == (1, 1, 0, 0, 0):  # pptoaslib.py:746-752
-        H21_n = Hn[0, 1] / phis_d[1]
+        H21_n = Hn[0, 0]  # == Hn[0,1]/phis_d[1], division-free
         nu_zero_DM = (jnp.sum(freqs ** -2 * H21_n) / jnp.sum(H21_n)) ** -0.5
         return [nu_zero_DM, nu_GM, nu_tau]
 
     if ff == (1, 0, 1, 0, 0):  # pptoaslib.py:753-760
-        H21_n = Hn[0, 2] / phis_d[2]
+        H21_n = Hn[0, 0]  # == Hn[0,2]/phis_d[2]
         nu_zero_GM = (jnp.sum(freqs ** -4 * H21_n) / jnp.sum(H21_n)) ** -0.25
         return [nu_DM, nu_zero_GM, nu_tau]
 
     if ff == (0, 0, 0, 1, 1):  # pptoaslib.py:761-767
-        H21_n = Hn[3, 4] / _log_ratio()
+        H21_n = tau_row_fact * Hn[3, 3]  # == Hn[3,4]/log_ratio
         nu_zero_tau = jnp.exp(jnp.sum(jnp.log(freqs) * H21_n) /
                               jnp.sum(H21_n))
         return [nu_DM, nu_GM, nu_zero_tau]
 
     if ff == (1, 1, 0, 1, 0):  # pptoaslib.py:768-778
         # sub-Hessian over (phi, DM, tau)
-        H21_n = Hn[1, 0] / phis_d[1]
-        H23_n = Hn[1, 3] / phis_d[1]
+        H21_n = Hn[0, 0]           # == Hn[1,0]/phis_d[1]
+        H23_n = Hn[0, 3]           # == Hn[1,3]/phis_d[1]
         H13 = jnp.sum(Hn[3, 0])
         H33 = jnp.sum(Hn[3, 3])
         numer = H13 * jnp.sum(freqs ** -2 * H23_n) - \
@@ -79,10 +91,11 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
         # branch (pptoaslib.py:893-901).
         idx = [0, 1, 3, 4]  # drop GM
         H = Hn[jnp.array(idx)][:, jnp.array(idx)]  # (4,4,nchan)
-        lr = _log_ratio()
-        H21_n, H23_n, H24_n = (H[1, 0] / phis_d[1], H[1, 2] / phis_d[1],
-                               H[1, 3] / phis_d[1])
-        H41_n, H42_n, H43_n = (H[3, 0] / lr, H[3, 1] / lr, H[3, 2] / lr)
+        # rows divided by phis_d[1] -> phi row; alpha rows -> tau row scaled
+        H21_n, H23_n, H24_n = H[0, 0], H[0, 2], H[0, 3]
+        H41_n, H42_n, H43_n = (tau_row_fact * H[2, 0],
+                               tau_row_fact * H[2, 1],
+                               tau_row_fact * H[2, 2])
         Hij = jnp.sum(H, axis=-1)
         H11, H22, H33, H44 = Hij[0, 0], Hij[1, 1], Hij[2, 2], Hij[3, 3]
         H12, H13, H14 = Hij[0, 1], Hij[0, 2], Hij[0, 3]
@@ -107,19 +120,21 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
         return [nu_zero_DM, nu_GM, nu_zero_tau]
 
     if ff == (1, 1, 1, 0, 0):  # pptoaslib.py:779-812, host polynomial
-        Hn_np = np.asarray(Hn)[:3, :3]
+        Hn_np = np.asarray(Hn)
         freqs_np = np.asarray(freqs)
-        pd = np.asarray(phis_d)
+        # identity substitutions: the reference divides the DM/GM rows by
+        # the FULL phis_deriv here, so Hn[1,j]/pd1 = Hn[2,j]/pd2 = Hn[0,j]
+        # exactly (no leftover constants)
         if option == 0:  # zero covariance between phi and DM
-            H21_n, H23_n = Hn_np[1, 0] / pd[1], Hn_np[1, 2] / pd[1]
-            H31_n, H33_n = Hn_np[2, 0] / pd[2], Hn_np[2, 2] / pd[2]
+            H21_n, H23_n = Hn_np[0, 0], Hn_np[0, 2]
+            H31_n, H33_n = Hn_np[0, 0], Hn_np[0, 2]
             A, B = (H31_n * freqs_np ** -4).sum(), H31_n.sum()
             C, D = (H23_n * freqs_np ** -2).sum(), H23_n.sum()
             E, F = (H33_n * freqs_np ** -4).sum(), H33_n.sum()
             G, H = (H21_n * freqs_np ** -2).sum(), H21_n.sum()
         elif option == 1:  # zero covariance between phi and GM
-            H21_n, H22_n = Hn_np[1, 0] / pd[1], Hn_np[1, 1] / pd[1]
-            H31_n, H32_n = Hn_np[2, 0] / pd[2], Hn_np[2, 1] / pd[2]
+            H21_n, H22_n = Hn_np[0, 0], Hn_np[0, 1]
+            H31_n, H32_n = Hn_np[0, 0], Hn_np[0, 1]
             A, B = (H21_n * freqs_np ** -4).sum(), H21_n.sum()
             C, D = (H32_n * freqs_np ** -2).sum(), H32_n.sum()
             E, F = (H22_n * freqs_np ** -4).sum(), H22_n.sum()
@@ -132,19 +147,20 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
         return [jnp.asarray(nu_zero), jnp.asarray(nu_zero), nu_tau]
 
     if ff == (1, 1, 1, 1, 0):  # pptoaslib.py:837-892, host polynomial
-        Hn_np = np.asarray(Hn)[:4, :4]
+        Hn_np = np.asarray(Hn)
         freqs_np = np.asarray(freqs)
-        Hij = Hn_np.sum(axis=-1)
-        nuDM = float(nu_DM)
-        nuGM = float(nu_GM)
-        t2 = freqs_np ** -2 - (0.0 if np.isinf(nuDM) else nuDM ** -2)
-        t4 = freqs_np ** -4 - (0.0 if np.isinf(nuGM) else nuGM ** -4)
+        P = float(setup.P)
+        Hij = Hn_np[:4, :4].sum(axis=-1)
+        # the reference divides by bare (nu^-2 - nu_DM^-2) etc; the
+        # identity rows carry the extra Dconst/P factors explicitly
+        c1 = DCONST / P
+        c2 = DCONST ** 2 / P
         H14, H44 = Hij[3, 0], Hij[3, 3]
         if option == 0:
-            H21_n, H23_n, H24_n = (Hn_np[1, 0] / t2, Hn_np[1, 2] / t2,
-                                   Hn_np[1, 3] / t2)
-            H31_n, H33_n, H34_n = (Hn_np[2, 0] / t4, Hn_np[2, 2] / t4,
-                                   Hn_np[2, 3] / t4)
+            H21_n, H23_n, H24_n = (c1 * Hn_np[0, 0], c1 * Hn_np[0, 2],
+                                   c1 * Hn_np[0, 3])
+            H31_n, H33_n, H34_n = (c2 * Hn_np[0, 0], c2 * Hn_np[0, 2],
+                                   c2 * Hn_np[0, 3])
             A, a = (freqs_np ** -4 * H34_n).sum(), H34_n.sum()
             B, b = (freqs_np ** -2 * H21_n).sum(), H21_n.sum()
             C, c = (freqs_np ** -4 * H31_n).sum(), H31_n.sum()
@@ -163,10 +179,10 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
             P0 = -a * a * b + a * c * f
             coeffs = [P5, P4, P3, P2, P1, P0]
         elif option == 1:
-            H21_n, H22_n, H24_n = (Hn_np[1, 0] / t2, Hn_np[1, 1] / t2,
-                                   Hn_np[1, 3] / t2)
-            H31_n, H32_n, H34_n = (Hn_np[2, 0] / t4, Hn_np[2, 1] / t4,
-                                   Hn_np[2, 3] / t4)
+            H21_n, H22_n, H24_n = (c1 * Hn_np[0, 0], c1 * Hn_np[0, 1],
+                                   c1 * Hn_np[0, 3])
+            H31_n, H32_n, H34_n = (c2 * Hn_np[0, 0], c2 * Hn_np[0, 1],
+                                   c2 * Hn_np[0, 3])
             A, a = (freqs_np ** -2 * H24_n).sum(), H24_n.sum()
             B, b = (freqs_np ** -4 * H31_n).sum(), H31_n.sum()
             C, c = (freqs_np ** -2 * H21_n).sum(), H21_n.sum()

@@ -51,8 +51,10 @@ def _cross_spectrum(data, model, noise=None, f0_fact=F0_FACT):
     return dFFT, mFFT, err
 
 
-@functools.partial(jax.jit, static_argnames=("Ns", "newton_iter"))
-def _fit_phase_shift_core(dFFT, mFFT, err, lo, hi, Ns=100, newton_iter=6):
+@functools.partial(jax.jit, static_argnames=("Ns", "newton_iter",
+                                             "nbin"))
+def _fit_phase_shift_core(dFFT, mFFT, err, lo, hi, Ns=100, newton_iter=6,
+                          nbin=None):
     """Single-profile core on Fourier-domain inputs."""
     nharm = dFFT.shape[-1]
     k = jnp.arange(nharm, dtype=err.dtype)
@@ -98,7 +100,8 @@ def _fit_phase_shift_core(dFFT, mFFT, err, lo, hi, Ns=100, newton_iter=6):
                           jnp.where(curvature > 0.0, curvature, 1.0) ** -0.5,
                           jnp.inf)
     scale_err = p ** -0.5
-    nbin = 2 * (nharm - 1)
+    if nbin is None:
+        nbin = 2 * (nharm - 1)
     red_chi2 = (d - (fmin ** 2) / p) / (nbin - 2)
     snr = jnp.sqrt(jnp.clip(scale ** 2 * p, 0.0))
     return PhaseShiftResult(phase=phase, phase_err=phase_err, scale=scale,
@@ -113,13 +116,15 @@ def fit_phase_shift(data, model, noise=None, bounds=(-0.5, 0.5), Ns=100):
     Reference: pplib.py:2054-2100.
     """
     dFFT, mFFT, err = _cross_spectrum(data, model, noise)
-    return _fit_phase_shift_core(dFFT, mFFT, err, bounds[0], bounds[1], Ns=Ns)
+    return _fit_phase_shift_core(dFFT, mFFT, err, bounds[0], bounds[1],
+                                 Ns=Ns, nbin=int(data.shape[-1]))
 
 
 def fit_phase_shift_batch(data, model, noise=None, bounds=(-0.5, 0.5),
                           Ns=100):
     """vmapped fit_phase_shift over leading axis of (B, nbin) inputs."""
     dFFT, mFFT, err = _cross_spectrum(data, model, noise)
+    nbin = int(data.shape[-1])
     core = jax.vmap(lambda D, M, e: _fit_phase_shift_core(
-        D, M, e, bounds[0], bounds[1], Ns=Ns))
+        D, M, e, bounds[0], bounds[1], Ns=Ns, nbin=nbin))
     return core(dFFT, mFFT, err)

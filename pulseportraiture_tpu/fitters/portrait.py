@@ -135,7 +135,8 @@ def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
     snr = jnp.sqrt(jnp.sum(channel_snrs ** 2))
     chi2 = setup_out.Sd + fun
     active = setup_out.w > 0.0
-    nbin_eff = 2 * (setup_out.Gr.shape[-1] - 1)
+    nbin_eff = jnp.where(jnp.asarray(setup_out.nbin) > 0, setup_out.nbin,
+                         2 * (setup_out.Gr.shape[-1] - 1))
     nfit = sum(int(bool(f)) for f in fit_flags)
     dof = jnp.sum(active) * nbin_eff - (nfit + jnp.sum(active))
     red_chi2 = chi2 / dof
@@ -174,6 +175,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     start = time.time()
     res = _optimize(jnp.asarray(init_params, dtype=data_port.dtype), setup,
                     fit_flags, log10_tau, scattering=scattering)
+    jax.block_until_ready(res.x)  # duration must measure the solve
     duration = time.time() - start
 
     # zero-covariance output references (host closed forms / polynomials)
@@ -233,6 +235,7 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
                              nu_fit)
     start = time.time()
     res = _optimize(init5, setup, fit_flags, False, scattering=False)
+    jax.block_until_ready(res.x)
     duration = time.time() - start
 
     nz = nu_zeros.get_nu_zeros(res.x, setup, fit_flags=fit_flags,

@@ -72,6 +72,8 @@ class FitSetup(NamedTuple):
     S0: jnp.ndarray     # (nchan,) sum_k M2 (unweighted): S/w when
                         # scattering == 0; loop-invariant, multiplied by
                         # the current w at use time so masks stay live
+    nbin: int = 0       # true time-domain bin count (2*(nharm-1) only
+                        # recovers even nbin; needed for dof)
 
 
 def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
@@ -116,7 +118,7 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
                     P=jnp.asarray(P, dt), nu_DM=jnp.asarray(nu_DM, dt),
                     nu_GM=jnp.asarray(nu_GM, dt),
                     nu_tau=jnp.asarray(nu_tau, dt),
-                    Sd=jnp.asarray(Sd, dt), S0=S0)
+                    Sd=jnp.asarray(Sd, dt), S0=S0, nbin=int(nbin))
 
 
 def _taus_and_derivs(params, setup, log10_tau):
@@ -147,6 +149,14 @@ def _taus_and_derivs(params, setup, log10_tau):
                        jnp.stack([d2tau_ta, d2tau_aa])])
     return taus, dtau, d2tau
 
+
+
+
+def _masked_inv(S, w):
+    """1/S on channels that are live (w > 0) and have nonzero model
+    power; exact zero elsewhere (masked channels contribute nothing)."""
+    active = (w > 0.0) & (S != 0.0)
+    return jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
 
 
 def _phase_trig(phis, k):
@@ -345,9 +355,7 @@ def chi2_prime(params, setup, log10_tau=True, scattering=True):
     """
     m = _moments(params, setup, log10_tau, order=0,
                  scattering=scattering)
-    active = setup.w > 0.0
-    si = jnp.where(active & (m["S"] != 0.0), 1.0 / jnp.where(m["S"] != 0.0,
-                                                             m["S"], 1.0), 0.0)
+    si = _masked_inv(m["S"], setup.w)
     return -jnp.sum(m["C"] ** 2 * si)
 
 
@@ -362,8 +370,7 @@ def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
     m = _moments(params, setup, log10_tau, order=2,
                  scattering=scattering)
     C, S = m["C"], m["S"]
-    active = (setup.w > 0.0) & (S != 0.0)
-    si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
+    si = _masked_inv(S, setup.w)
     r = C * si
     f = -jnp.sum(C * r)
 
@@ -395,8 +402,7 @@ def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
     m = _moments(params, setup, log10_tau, order=2,
                  scattering=scattering)
     C, S = m["C"], m["S"]
-    active = (setup.w > 0.0) & (S != 0.0)
-    si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
+    si = _masked_inv(S, setup.w)
     r = C * si
     dC, dS = _grad_stack(m)
     d2C, d2S = _hess_stacks(m)
@@ -417,8 +423,7 @@ def get_scales(params, setup, log10_tau=True, scattering=True):
     m = _moments(params, setup, log10_tau, order=0,
                  scattering=scattering)
     C, S = m["C"], m["S"]
-    active = (setup.w > 0.0) & (S != 0.0)
-    si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
+    si = _masked_inv(S, setup.w)
     return C * si, S
 
 
@@ -434,8 +439,7 @@ def covariance_with_scales(params, setup, fit_flags=(1, 1, 1, 1, 1),
     m = _moments(params, setup, log10_tau, order=2,
                  scattering=scattering)
     C, S = m["C"], m["S"]
-    active = (setup.w > 0.0) & (S != 0.0)
-    si = jnp.where(active, 1.0 / jnp.where(S != 0.0, S, 1.0), 0.0)
+    si = _masked_inv(S, setup.w)
     r = C * si
     dC, dS = _grad_stack(m)
     d2C, d2S = _hess_stacks(m)
@@ -447,7 +451,7 @@ def covariance_with_scales(params, setup, fit_flags=(1, 1, 1, 1, 1),
     A = A + jnp.diag(1.0 - flags)
     # Cross block U_{j,n} = -2 (dC_j - a_n dS_j), masked (pptoaslib.py:690)
     U = -2.0 * (dC - r * dS) * flags[:, None]          # (5, nchan)
-    c_inv = jnp.where(active, si / 2.0, 0.0)           # inv of diag(2 S_n)
+    c_inv = si / 2.0                                   # inv of diag(2 S_n)
     X = A - (U * c_inv) @ U.T
     X_inv = jnp.linalg.inv(X)
     param_cov = 2.0 * X_inv * fo

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,8 +39,10 @@ def rfft_matmul(x, axis=-1):
     assert axis in (-1, x.ndim - 1)
     nbin = x.shape[-1]
     cos_m, sin_m = _dft_mats(nbin, str(x.dtype))
-    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype)
-    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype)
+    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
     return re + 1j * im
 
 
@@ -58,8 +61,10 @@ def irfft_matmul(X, n=None, axis=-1):
         w = w.at[-1].set(0.5)
     re_w = re * w
     im_w = im * w
-    x = jnp.matmul(re_w, cos_m.T, preferred_element_type=re.dtype) - \
-        jnp.matmul(im_w, sin_m.T, preferred_element_type=re.dtype)
+    x = jnp.matmul(re_w, cos_m.T, preferred_element_type=re.dtype,
+                   precision=jax.lax.Precision.HIGHEST) - \
+        jnp.matmul(im_w, sin_m.T, preferred_element_type=re.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
     return x * (2.0 / nbin)
 
 
@@ -72,6 +77,8 @@ def rfft_matmul_ri(x, axis=-1):
     assert axis in (-1, x.ndim - 1)
     nbin = x.shape[-1]
     cos_m, sin_m = _dft_mats(nbin, str(x.dtype))
-    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype)
-    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype)
+    re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
+    im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype,
+                    precision=jax.lax.Precision.HIGHEST)
     return re, im

@@ -39,15 +39,9 @@ def _kernel(phis_ref, gr_ref, gi_ref, out_ref):
     gi = gi_ref[:]
     nharm = gr.shape[-1]
     k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
-    # double-single phase product (see fitters.stats._phase_trig)
-    p = phis - jnp.round(phis)
-    hi = jnp.round(p * 8192.0) / 8192.0
-    lo = p - hi
-    prod = hi * k
-    frac = prod - jnp.round(prod)
-    ang = TWO_PI * (frac + lo * k)          # (CBLK, nharm)
-    c = jnp.cos(ang)
-    s = jnp.sin(ang)
+    # shared double-single phase product
+    from pulseportraiture_tpu.fitters.stats import _phase_trig
+    c, s = _phase_trig(phis[:, 0], k)
     zr = gr * c - gi * s                    # Re(G e^{i ang})
     zi = gr * s + gi * c                    # Im(G e^{i ang})
     C = jnp.sum(zr, axis=-1)
@@ -136,15 +130,9 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     m2 = m2_ref[:]
     nharm = gr.shape[-1]
     k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
-    # precise phase ramp (double-single; see stats._phase_trig)
-    p = phis - jnp.round(phis)
-    hi = jnp.round(p * 8192.0) / 8192.0
-    lo = p - hi
-    prod = hi * k
-    frac = prod - jnp.round(prod)
-    ang = TWO_PI * (frac + lo * k)
-    Pr = jnp.cos(ang)
-    Pi = jnp.sin(ang)
+    # shared double-single phase product
+    from pulseportraiture_tpu.fitters.stats import _phase_trig
+    Pr, Pi = _phase_trig(phis[:, 0], k)
 
     ct = TWO_PI * k * taus
     Bden = 1.0 + ct * ct

@@ -80,7 +80,12 @@ def rotate_data(data, phase=0.0, DM=0.0, Ps=None, freqs=None, nu_ref=jnp.inf,
     dFFT = jnp.fft.rfft(data, axis=-1)
     nharm = dFFT.shape[-1]
 
-    if freqs is None or (isinstance(DM, float) and DM == 0.0 and Ps is None):
+    # numeric zero test: int 0 / numpy scalars must take the pure-phase
+    # path too (a traced DM never is a python scalar, so this stays
+    # jit-safe)
+    dm_zero = not hasattr(DM, "dtype") and not isinstance(DM, bool) and \
+        isinstance(DM, (int, float)) and float(DM) == 0.0
+    if freqs is None or (dm_zero and Ps is None):
         ramp = phasor(jnp.asarray(phase, dtype=data.dtype), nharm)
         return jnp.fft.irfft(dFFT * ramp, n=nbin, axis=-1)
 

@@ -239,3 +239,41 @@ def test_base_rotation_equivalence():
     assert abs(float(res_b.phi) - float(res_a.phi)) < 1e-9
     assert abs(float(res_a.DM) - DM_full) < 1e-8
     assert abs(float(res_a.phi) - phi_in) < 1e-9
+
+
+def test_nu_zero_finite_when_reference_is_a_channel_frequency():
+    """Regression: evenly spaced odd-nchan grids put mean(freqs) exactly
+    on the center channel; the nu_zero divisions were 0/0 = NaN there
+    (the reference's own forms share this flaw; ours use the exact
+    algebraic identities instead)."""
+    nchan, nbin, P = 3, 128, 0.003
+    freqs = jnp.asarray(np.linspace(1300.0, 1500.0, nchan))
+    x = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((x - 0.4) / 0.04) ** 2)
+    model = jnp.asarray(np.tile(prof, (nchan, 1)))
+    data = np.asarray(model) + RNG.normal(0, 0.01, (nchan, nbin))
+    res, _ = fit_portrait_full(
+        jnp.asarray(data), model, jnp.zeros(5), P, freqs,
+        errs=jnp.full(nchan, 0.01), fit_flags=(1, 1, 0, 0, 0),
+        log10_tau=False, scattering=False)
+    assert np.isfinite(float(res.nu_DM)), float(res.nu_DM)
+    assert np.isfinite(float(res.phi)) and np.isfinite(float(res.DM))
+
+
+def test_newton_shrinks_radius_on_nonfinite_trials():
+    """Regression: a NaN trial objective must shrink the trust radius,
+    not stall the optimizer at x0 for max_iter."""
+    from pulseportraiture_tpu.fitters import newton
+
+    def fgh(x):
+        # objective blows up to NaN beyond |x| > 2; quadratic inside
+        bad = jnp.abs(x[0]) > 2.0
+        f = jnp.where(bad, jnp.nan, (x[0] - 1.0) ** 2)
+        g = jnp.where(bad, jnp.nan, 2.0 * (x[0] - 1.0))[None]
+        H = jnp.where(bad, jnp.nan, 2.0)[None, None]
+        return f, g, H
+
+    res = newton.trust_region_minimize(fgh, jnp.asarray([-1.5]),
+                                       max_iter=50, init_radius=100.0)
+    assert abs(float(res.x[0]) - 1.0) < 1e-6, float(res.x[0])
+    assert int(res.niter) < 50

@@ -119,7 +119,7 @@ def test_masked_channels_equal_dropped_channels():
         freqs=setup.freqs[keep], P=setup.P, nu_DM=setup.nu_DM,
         nu_GM=setup.nu_GM, nu_tau=setup.nu_tau,
         Sd=jnp.asarray(0.0),  # Sd unused by value_grad_hess
-        S0=jnp.sum(setup.M2[keep], axis=-1))
+        S0=jnp.sum(setup.M2[keep], axis=-1), nbin=setup.nbin)
     f1, g1, H1 = stats.chi2_value_grad_hess(PARAMS, setup_masked,
                                             log10_tau=True)
     f2, g2, H2 = stats.chi2_value_grad_hess(PARAMS, setup_dropped,
