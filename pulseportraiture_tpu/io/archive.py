@@ -42,6 +42,8 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
         arch.dededisperse()
     DM = arch.DM
     dmc = arch.dedispersed
+    if state is not None and state != arch.state:
+        arch.convert_state(state)
     if rm_baseline:
         arch.remove_baseline()
     if tscrunch:

@@ -111,6 +111,27 @@ class Archive:
         if self.doppler_factors is not None:
             self.doppler_factors = np.array([self.doppler_factors.mean()])
 
+    def convert_state(self, state):
+        """Convert between 'Coherence' (AA,BB,CR,CI) and 'Stokes'
+        (I,Q,U,V) polarization bases (PSRCHIVE convert_state; the
+        reference calls it at load, pplib.py:2681-2684)."""
+        if state == self.state or self.npol != 4:
+            self.state = state if self.npol == 1 else self.state
+            return
+        d = self.data
+        if self.state == "Coherence" and state == "Stokes":
+            aa, bb, cr, ci = d[:, 0], d[:, 1], d[:, 2], d[:, 3]
+            self.data = np.stack([aa + bb, aa - bb, 2.0 * cr, 2.0 * ci],
+                                 axis=1)
+        elif self.state == "Stokes" and state == "Coherence":
+            i, q, u, v = d[:, 0], d[:, 1], d[:, 2], d[:, 3]
+            self.data = np.stack([0.5 * (i + q), 0.5 * (i - q),
+                                  0.5 * u, 0.5 * v], axis=1)
+        else:
+            raise ValueError(
+                f"cannot convert {self.state!r} -> {state!r}")
+        self.state = state
+
     def pscrunch(self):
         if self.npol > 1:
             if self.state == "Coherence":
@@ -183,12 +204,9 @@ def write_psrfits(path, arch: Archive, dtype="f4", quiet=True):
     dat_wts = np.asarray(arch.weights, dtype="f4")
     flat = arch.data.reshape(nsub, npol * nchan, nbin)
     if dtype == "i2":
-        dmax = flat.max(-1)
-        dmin = flat.min(-1)
-        offs = 0.5 * (dmax + dmin)
-        scl = np.where(dmax > dmin, (dmax - dmin) / 65534.0, 1.0)
-        raw = np.round((flat - offs[..., None]) / scl[..., None])
-        data_col = raw.reshape(nsub, -1).astype("i2")
+        from pulseportraiture_tpu.io import native
+        raw, scl, offs = native.quantize_i2(flat)
+        data_col = raw.reshape(nsub, -1)
     else:
         offs = np.zeros((nsub, npol * nchan))
         scl = np.ones((nsub, npol * nchan))
@@ -237,8 +255,14 @@ def read_psrfits(path) -> Archive:
         nsub, npol * nchan)
     offs = np.asarray(sub.columns["DAT_OFFS"], dtype="f8").reshape(
         nsub, npol * nchan)
-    data = (raw.astype("f8") * scl[..., None] + offs[..., None]).reshape(
-        nsub, npol, nchan, nbin)
+    if raw.dtype == np.int16:
+        from pulseportraiture_tpu.io import native
+        data = native.dequantize_i2(
+            raw, scl.astype("f4"), offs.astype("f4")).astype("f8").reshape(
+            nsub, npol, nchan, nbin)
+    else:
+        data = (raw.astype("f8") * scl[..., None] +
+                offs[..., None]).reshape(nsub, npol, nchan, nbin)
     start = MJD(primary.header["STT_IMJD"], primary.header["STT_SMJD"],
                 primary.header["STT_OFFS"])
     epochs = [start.add_seconds(float(o)) for o in sub.columns["OFFS_SUB"]]

@@ -245,7 +245,7 @@ class GetTOAs:
                                  dededisperse=True, tscrunch=tscrunch,
                                  pscrunch=True, rm_baseline=True,
                                  quiet=quiet)
-            except (OSError, ValueError, KeyError) as exc:
+            except (OSError, ValueError, KeyError, EOFError) as exc:
                 print(f"Skipping {df}: could not load ({exc})")
                 continue
             self.ok_idatafiles.append(idf)
@@ -278,8 +278,11 @@ class GetTOAs:
                         self.ird["wids"], self.ird["irf_types"]))
                     model = np.fft.irfft(irf * np.fft.rfft(model, axis=-1),
                                          n=nbin, axis=-1)
-                nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
-                                              jnp.asarray(SNRsx)))
+                if nu_fits is not None:
+                    nu_fit = float(np.atleast_1d(nu_fits)[0])
+                else:
+                    nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
+                                                  jnp.asarray(SNRsx)))
 
                 # base rotation: remove the header-DM dispersion at full
                 # float64 precision on the host, so the device fit solves
@@ -422,8 +425,16 @@ class GetTOAs:
                 if (iarch, isub) in results:
                     res, duration = results[(iarch, isub)]
                 else:
-                    nu_outs = (None, None, None) if nu_refs is None \
-                        else nu_refs
+                    if nu_refs is None:
+                        nu_outs = (None, None, None)
+                    else:
+                        # the user tau reference is barycentric; the fit
+                        # runs topocentric (reference pptoas.py:414)
+                        nu_outs = list(nu_refs)
+                        if bary and nu_outs[2] is not None:
+                            nu_outs[2] = nu_outs[2] / \
+                                data.doppler_factors[isub]
+                        nu_outs = tuple(nu_outs)
                     res, duration = fit_portrait_full(
                         jnp.asarray(prep["port"]), jnp.asarray(model),
                         jnp.asarray(prep["init"]), P, jnp.asarray(freqs),
@@ -459,42 +470,66 @@ class GetTOAs:
                     GM_bary = GM_fit * df_dop ** 3
                 else:
                     DM_bary, GM_bary = DM_fit, GM_fit
-                # flux estimate from model means x scales (pptoas.py:554-576)
+                # flux estimate from the (scattered) model means x
+                # scales (pptoas.py:554-576)
                 scales_np = np.asarray(res.scales)
                 scale_errs_np = np.asarray(res.scale_errs)
-                model_means = model[okc].mean(-1)
+                flux_model = model[okc]
+                tau_fit = (10.0 ** float(res.tau) if log10_tau
+                           else float(res.tau))
+                if fit_scat and tau_fit != 0.0:
+                    from pulseportraiture_tpu.ops.scattering import (
+                        scattering_portrait_FT, scattering_times)
+                    taus_x = scattering_times(tau_fit, float(res.alpha),
+                                              freqsx, float(res.nu_tau))
+                    Bx = np.asarray(scattering_portrait_FT(
+                        jnp.asarray(np.asarray(taus_x)), nbin))
+                    flux_model = np.fft.irfft(
+                        Bx * np.fft.rfft(flux_model, axis=-1), n=nbin,
+                        axis=-1)
+                model_means = flux_model.mean(-1)
                 flux_vals = scales_np[okc] * model_means
-                flux_errs_chan = np.abs(scale_errs_np[okc]) * model_means
+                flux_errs_chan = np.abs(model_means) * scale_errs_np[okc]
                 good = flux_errs_chan > 0
                 if good.any():
                     flux, flux_err = weighted_mean(flux_vals[good],
                                                    flux_errs_chan[good])
+                    flux_freq, _ = weighted_mean(freqsx[good],
+                                                 flux_errs_chan[good])
                 else:
-                    flux, flux_err = 0.0, 0.0
+                    flux, flux_err, flux_freq = 0.0, 0.0, 0.0
 
                 cov = np.asarray(res.covariance_matrix)
-                denom = np.sqrt(max(cov[0, 0] * cov[1, 1], 1e-300))
                 flags = dict(
                     be=data.backend, fe=data.frontend,
                     f=f"{data.frontend}_{data.backend}",
                     nbin=nbin, nch=data.nchan, nchx=len(okc),
-                    bw=float(data.bw),
+                    bw=float(freqsx.max() - freqsx.min()),
                     chbw=float(abs(data.bw) / data.nchan),
                     subint=int(isub), tobs=float(data.subtimes[isub]),
                     fratio=float(freqsx.max() / freqsx.min()),
-                    tmplt=self.modelfile, snr=float(res.snr),
-                    gof=float(res.red_chi2),
-                    phi_DM_cov=float(cov[0, 1] / denom) if denom > 0
-                    else 0.0)
+                    tmplt=self.modelfile, snr=float(res.snr))
+                # raw phi-DM covariance only for user-pinned references
+                # with both parameters fitted (pptoas.py:643-645)
+                if nu_refs is not None and fit_DM:
+                    flags["phi_DM_cov"] = float(cov[0, 1])
+                flags["gof"] = float(res.red_chi2)
+                if fit_GM:
+                    flags["gm"] = GM_bary
+                    flags["gm_err"] = float(res.GM_err)
                 if fit_scat:
+                    # scattering flags are topocentric -> barycentric via
+                    # the Doppler factor (pptoas.py:615-627)
                     flags["scat_time"] = float(
-                        (10 ** float(res.tau) if log10_tau
-                         else float(res.tau)) * P * 1e6)  # [us]
-                    flags["scat_time_err"] = float(
-                        (np.log(10.0) * 10 ** float(res.tau) *
-                         float(res.tau_err) if log10_tau
-                         else float(res.tau_err)) * P * 1e6)
-                    flags["scat_ref_freq"] = float(res.nu_tau)
+                        tau_fit * P / df_dop * 1e6)  # [us]
+                    if log10_tau:
+                        flags["log10_scat_time"] = float(
+                            float(res.tau) + np.log10(P / df_dop))
+                        flags["log10_scat_time_err"] = float(res.tau_err)
+                    else:
+                        flags["scat_time_err"] = float(
+                            float(res.tau_err) * P / df_dop * 1e6)
+                    flags["scat_ref_freq"] = float(res.nu_tau) * df_dop
                     flags["scat_ind"] = float(res.alpha)
                     if not fix_alpha:
                         flags["scat_ind_err"] = float(res.alpha_err)
@@ -504,14 +539,19 @@ class GetTOAs:
                 if print_flux:
                     flags["flux"] = float(flux)
                     flags["flux_err"] = float(flux_err)
+                    flags["flux_ref_freq"] = float(flux_freq)
                 if print_parangle:
                     pa = _parallactic_angle_for(data, epoch)
                     if pa == pa:  # not NaN
                         flags["par_angle"] = pa
                 flags.update(addtnl_toa_flags)
+                # no DM flags when DM was not fitted (pptoas.py:608-610):
+                # a zero-uncertainty pp_dm would get infinite weight in
+                # wideband timing consumers
                 toa = TOA(df, float(res.nu_DM), toa_mjd, toa_err_us,
                           data.telescope, data.telescope_code,
-                          DM=DM_bary, DM_error=float(res.DM_err),
+                          DM=DM_bary if fit_DM else None,
+                          DM_error=float(res.DM_err) if fit_DM else None,
                           flags=flags)
                 self.TOA_list.append(toa)
 
@@ -592,6 +632,9 @@ class GetTOAs:
             self.nu_fits.append(nu_fits_l)
             self.nu_refs.append(nu_refs_l)
             self.fit_durations.append(arch_duration)
+            if show_plot:
+                for isub_p in ok_isubs:
+                    self.show_fit(datafile=df, isub=isub_p, show=True)
 
         if not quiet:
             ntoa = len(self.TOA_list)
@@ -632,10 +675,12 @@ class GetTOAs:
 
         for idf, df in enumerate(datafiles):
             try:
-                data = load_data(df, dedisperse=False, dededisperse=False,
+                # per-channel TOAs need the dispersed state
+                # (reference pptoas.py:812-826)
+                data = load_data(df, dedisperse=False, dededisperse=True,
                                  tscrunch=tscrunch, pscrunch=True,
                                  rm_baseline=True, quiet=quiet)
-            except (OSError, ValueError, KeyError) as exc:
+            except (OSError, ValueError, KeyError, EOFError) as exc:
                 print(f"Skipping {df}: could not load ({exc})")
                 continue
             nbin = data.nbin

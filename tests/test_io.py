@@ -193,3 +193,46 @@ def test_parallactic_angle_sanity():
     assert min(qs) < 0 < max(qs)
     pa = parallactic_angle("NOT_A_SCOPE", "05:00:00", "20:00:00", 55000.0)
     assert pa != pa  # NaN
+
+
+def test_i2_quantized_archive_roundtrip(tmp_path):
+    """16-bit PSRFITS storage: write/read recovers amplitudes at the
+    quantization noise level (native codec when built)."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.io.psrfits import (Archive, read_psrfits,
+                                                 write_psrfits)
+    rng = np.random.default_rng(2)
+    data = rng.normal(0, 1, (2, 1, 8, 64))
+    arch = Archive(data=data, freqs=np.tile(np.linspace(1100, 1900, 8),
+                                            (2, 1)),
+                   weights=np.ones((2, 8)), Ps=np.full(2, 0.005),
+                   epochs=[MJD(57000.0), MJD(57000.001)],
+                   subtimes=np.full(2, 30.0), DM=10.0, nu0=1500.0,
+                   bw=800.0, source="T", telescope="GBT")
+    path = str(tmp_path / "q.fits")
+    write_psrfits(path, arch, dtype="i2")
+    back = read_psrfits(path)
+    span = data.max() - data.min()
+    assert np.abs(back.data - data).max() < 2e-4 * span
+
+
+def test_convert_state_roundtrip():
+    """Coherence <-> Stokes conversion is exactly invertible."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.io.psrfits import Archive
+    rng = np.random.default_rng(3)
+    data = rng.normal(0, 1, (1, 4, 4, 32))
+    arch = Archive(data=data.copy(), freqs=np.linspace(1, 2, 4)[None],
+                   weights=np.ones((1, 4)), Ps=np.ones(1),
+                   epochs=[MJD(57000.0)], subtimes=np.ones(1),
+                   state="Coherence")
+    arch.convert_state("Stokes")
+    # I = AA+BB
+    np.testing.assert_allclose(arch.data[:, 0],
+                               data[:, 0] + data[:, 1])
+    arch.convert_state("Coherence")
+    np.testing.assert_allclose(arch.data, data, atol=1e-14)
