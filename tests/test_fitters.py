@@ -277,3 +277,24 @@ def test_newton_shrinks_radius_on_nonfinite_trials():
                                        max_iter=50, init_radius=100.0)
     assert abs(float(res.x[0]) - 1.0) < 1e-6, float(res.x[0])
     assert int(res.niter) < 50
+
+
+def test_fit_portrait_full_recovers_GM():
+    """phi+DM+GM fit with the polynomial nu_zero branch (host roots)."""
+    nchan, nbin, P = 24, 256, 0.003
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model = np.stack([np.asarray(gaussian_profile(nbin, 0.4, 0.04)) *
+                      (f / 1500.0) ** -1.2 for f in freqs])
+    phi0, DM0, GM0 = 0.01, 1e-3, 0.5
+    nu_ref = float(freqs.mean())
+    data = np.asarray(rotate_portrait_full(
+        jnp.asarray(model), -phi0, -DM0, -GM0, jnp.asarray(freqs),
+        nu_ref, nu_ref, P=P))
+    res, _ = fit_portrait_full(
+        jnp.asarray(data), jnp.asarray(model), jnp.zeros(5), P,
+        jnp.asarray(freqs), nu_fits=(nu_ref, nu_ref, nu_ref),
+        errs=jnp.full(nchan, 1e-4), fit_flags=(1, 1, 1, 0, 0),
+        log10_tau=False)
+    assert abs(float(res.GM) - GM0) < 1e-6
+    assert abs(float(res.DM) - DM0) < 1e-8
+    assert np.isfinite(float(res.nu_DM))
