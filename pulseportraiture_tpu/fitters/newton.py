@@ -21,6 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
+# Return-code strings in the style of the reference's RCSTRINGS table
+# (pplib.py:111-119, scipy TNC codes); our optimizer's statuses map to:
+RCSTRINGS = {
+    0: "Converged (gradient norm below tolerance)",
+    1: "Converged (function decrease below ftol)",
+    2: "Converged (step size / trust radius below xtol)",
+    3: "Maximum number of iterations reached",
+}
+
+
 class NewtonResult(NamedTuple):
     x: jnp.ndarray
     fun: jnp.ndarray

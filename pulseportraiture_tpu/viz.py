@@ -280,3 +280,9 @@ class GaussianSelector:
             jnp.asarray(self._params()), self.nbin))
         self._model_line.set_data(self.phases, model)
         self.fig.canvas.draw_idle()
+
+
+def set_colormap(cmap="viridis"):
+    """Set the default matplotlib colormap (reference pplib.py:656-669)."""
+    import matplotlib
+    matplotlib.rcParams["image.cmap"] = cmap
