@@ -107,3 +107,19 @@ def test_cli_ppzap(ws):
     assert main(["-d", fits, "-o", out, "--quiet"]) == 0
     from pulseportraiture_tpu.io.archive import load_data
     load_data(out, quiet=True)
+
+
+def test_get_psrchive_toas_and_filter(ws):
+    """Native ArrivalTime equivalent + TOA flag filtering."""
+    d, par, gmodel, fits = ws
+    import pytest as _pytest
+
+    from pulseportraiture_tpu.io.tim import filter_TOAs
+    from pulseportraiture_tpu.pipelines.toas import GetTOAs
+    gt = GetTOAs([fits], gmodel, quiet=True)
+    gt.get_psrchive_TOAs(algorithm="PGS", quiet=True)
+    assert len(gt.TOA_list) == 2 * 16
+    high = filter_TOAs(gt.TOA_list, "snr", 50.0, ">=")
+    assert 0 < len(high) <= len(gt.TOA_list)
+    with _pytest.raises(ValueError):
+        gt.get_psrchive_TOAs(algorithm="RVM")
