@@ -78,3 +78,34 @@ def test_scattering_moments_kernel_matches_stats(monkeypatch):
         scale = np.abs(a).max() + 1e-30
         np.testing.assert_allclose(b / scale, a / scale, atol=3e-6,
                                    err_msg=key)
+
+
+def test_kernels_batch_under_vmap():
+    """The production fitter vmaps the kernels over the batch axis;
+    verify the pallas_call batching rule (interpret mode on CPU)."""
+    import jax
+
+    from pulseportraiture_tpu.ops.pallas_moments import scattering_moments
+
+    rng = np.random.default_rng(1)
+    B, nchan, nharm = 3, 12, 129
+    phis = jnp.asarray(rng.uniform(-0.5, 0.5, (B, nchan)).astype(
+        np.float32))
+    Gr = jnp.asarray(rng.normal(0, 1, (B, nchan, nharm)).astype(
+        np.float32))
+    Gi = jnp.asarray(rng.normal(0, 1, (B, nchan, nharm)).astype(
+        np.float32))
+    M2 = jnp.asarray(np.abs(rng.normal(0, 1, (B, nchan, nharm))).astype(
+        np.float32))
+    taus = jnp.asarray(np.abs(rng.normal(0, 0.01, (B, nchan))).astype(
+        np.float32))
+    out_b = jax.vmap(lambda p, r, i: phase_moments(p, r, i))(phis, Gr, Gi)
+    ref_b = jax.vmap(phase_moments_reference)(phis, Gr, Gi)
+    for a, b in zip(out_b, ref_b):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-30
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=3e-6)
+    out_s = jax.vmap(lambda p, t, r, i, m: scattering_moments(
+        p, t, r, i, m))(phis, taus, Gr, Gi, M2)
+    for o in out_s:
+        assert np.isfinite(np.asarray(o)).all()
