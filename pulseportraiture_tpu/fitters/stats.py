@@ -38,8 +38,10 @@ from pulseportraiture_tpu.ops.transform import phase_shifts, phase_shifts_deriv
 
 from pulseportraiture_tpu.config import F0_FACT
 
-TWO_PI = 2.0 * jnp.pi
-LN10 = jnp.log(10.0)
+import numpy as _np
+
+TWO_PI = float(2.0 * _np.pi)
+LN10 = float(_np.log(10.0))
 
 
 def _use_pallas_moments():

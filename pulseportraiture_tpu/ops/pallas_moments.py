@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pulseportraiture_tpu.fitters.stats import _phase_trig
+
 TWO_PI = 2.0 * np.pi
 
 # channels per program: 8 f32 sublanes
@@ -40,7 +42,6 @@ def _kernel(phis_ref, gr_ref, gi_ref, out_ref):
     nharm = gr.shape[-1]
     k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
     # shared double-single phase product
-    from pulseportraiture_tpu.fitters.stats import _phase_trig
     c, s = _phase_trig(phis[:, 0], k)
     zr = gr * c - gi * s                    # Re(G e^{i ang})
     zi = gr * s + gi * c                    # Im(G e^{i ang})
@@ -104,7 +105,6 @@ def phase_moments(phis, Gr, Gi, interpret=None):
 
 def phase_moments_reference(phis, Gr, Gi):
     """Pure-jnp reference implementation (for tests and CPU)."""
-    from pulseportraiture_tpu.fitters.stats import _phase_trig
     nharm = Gr.shape[-1]
     k = jnp.arange(nharm, dtype=Gr.dtype)
     c, s = _phase_trig(phis, k)
@@ -131,7 +131,6 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     nharm = gr.shape[-1]
     k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
     # shared double-single phase product
-    from pulseportraiture_tpu.fitters.stats import _phase_trig
     Pr, Pi = _phase_trig(phis[:, 0], k)
 
     ct = TWO_PI * k * taus
