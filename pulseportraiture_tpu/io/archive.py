@@ -17,6 +17,44 @@ from pulseportraiture_tpu.io.telescopes import telescope_code
 from pulseportraiture_tpu.utils import DataBunch, get_bin_centers
 
 
+def _ephemeris_geometry(arch, nsub):
+    """Per-subint (doppler_factors, parallactic_angles).
+
+    Mirrors reference pplib.py:2696-2707: PSRCHIVE's per-Integration
+    get_doppler_factor()/get_parallactic_angle() are recomputed from the
+    stored ephemeris (RAJ/DECJ) and the observatory coordinates.  A file
+    DOPPLER column overrides the Doppler computation; unknown sites or
+    missing coordinates fall back to df=1, pa=0.
+    """
+    dfs = arch.doppler_factors
+    pas = np.zeros(nsub)
+    ra_deg = dec_deg = None
+    if arch.ephemeris_lines:
+        from pulseportraiture_tpu.io.par import parse_par
+        from pulseportraiture_tpu.io.parang import dms_to_deg, hms_to_deg
+        par = parse_par(arch.ephemeris_lines)
+        if hasattr(par, "RAJ") and hasattr(par, "DECJ"):
+            try:
+                ra_deg = hms_to_deg(par.RAJ)
+                dec_deg = dms_to_deg(par.DECJ)
+            except ValueError:
+                pass
+    if ra_deg is None:
+        return (dfs if dfs is not None else np.ones(nsub)), pas
+    from pulseportraiture_tpu.io.ephem import doppler_factor
+    from pulseportraiture_tpu.io.parang import (OBSERVATORY_COORDS,
+                                                parallactic_angle)
+    coords = OBSERVATORY_COORDS.get(str(arch.telescope).upper())
+    lat, lon = coords if coords is not None else (None, None)
+    mjds = np.array([e.in_days() for e in arch.epochs])
+    if dfs is None:
+        dfs = np.asarray(doppler_factor(mjds, ra_deg, dec_deg, lat, lon))
+    if coords is not None and hasattr(par, "RAJ"):
+        pas = np.array([parallactic_angle(arch.telescope, par.RAJ,
+                                          par.DECJ, m) for m in mjds])
+    return dfs, pas
+
+
 def load_data(filename, state=None, dedisperse=False, dededisperse=False,
               tscrunch=False, pscrunch=False, fscrunch=False,
               rm_baseline=True, flux_prof=False, refresh_arch=True,
@@ -54,9 +92,11 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
         arch.fscrunch()
     nsub, npol, nchan, nbin = arch.data.shape
     integration_length = float(arch.subtimes.sum())
-    doppler_factors = (arch.doppler_factors if arch.doppler_factors
-                       is not None else np.ones(nsub))
-    parallactic_angles = np.zeros(nsub)
+    # Doppler factors & parallactic angles: the reference computes both
+    # per subint from ephemeris + site via PSRCHIVE (pplib.py:2696-2707).
+    # A file DOPPLER column (written by this framework's own archives)
+    # overrides the analytic computation.
+    doppler_factors, parallactic_angles = _ephemeris_geometry(arch, nsub)
     nu0 = arch.nu0
     bw = arch.bw
     freqs = np.asarray(arch.freqs, dtype=np.float64)

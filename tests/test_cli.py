@@ -100,6 +100,22 @@ def test_cli_ppalign(ws):
     assert data.nchan == 16
 
 
+def test_cli_ppalign_gaussian_init(ws):
+    """-g seeds alignment with a constant fixed-FWHM Gaussian template
+    (reference ppalign.py:352-361)."""
+    d, par, gmodel, fits = ws
+    from pulseportraiture_tpu.cli.ppalign import main
+    out = str(d / "avg_g.fits")
+    assert main(["-d", fits, "-o", out, "-T", "-g", "0.05",
+                 "--quiet"]) == 0
+    from pulseportraiture_tpu.io.archive import load_data
+    data = load_data(out, quiet=True)
+    assert data.nchan == 16
+    # the aligned average must carry real structure, not the flat seed
+    prof = data.subints[0, 0].mean(0)
+    assert prof.max() > 5 * prof.std()
+
+
 def test_cli_ppzap(ws):
     d, par, gmodel, fits = ws
     from pulseportraiture_tpu.cli.ppzap import main

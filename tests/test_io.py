@@ -174,6 +174,70 @@ def test_foreign_psrfits_missing_period_column(tmp_path):
     assert a1.doppler_factors is None
 
 
+def test_doppler_from_ephemeris(tmp_path):
+    """load_data on a DOPPLER-less archive computes per-subint Doppler
+    factors and parallactic angles from the stored ephemeris + site
+    (reference pplib.py:2696-2707), and bary=True then visibly scales
+    the output DMs (reference pptoas.py:539-549)."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io import fits
+    from pulseportraiture_tpu.io.archive import load_data
+    from pulseportraiture_tpu.io.ephem import doppler_factor
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.io.parang import (OBSERVATORY_COORDS,
+                                                dms_to_deg, hms_to_deg)
+    from pulseportraiture_tpu.models.gmodel_io import write_model
+    from pulseportraiture_tpu.pipelines.toas import GetTOAs
+    from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+
+    par = tmp_path / "d.par"
+    # an ecliptic-plane source maximizes the annual Doppler term
+    par.write_text("PSR JD\nRAJ 00:00:00\nDECJ 00:00:00\n"
+                   "F0 345.6789012345\nF1 -1.2346D-13\n"
+                   "PEPOCH 50000\nDM 10.0\n")
+    gm = str(tmp_path / "d.gmodel")
+    write_model(gm, "D", "000", 1500.0,
+                [0.0, 0.0, 0.3, 0.0, 0.05, 0.0, 3.0, -1.0], [1] * 8,
+                -4.0, 0, quiet=True)
+    orig = str(tmp_path / "orig.fits")
+    make_fake_pulsar(gm, str(par), outfile=orig, nsub=2, npol=1, nchan=8,
+                     nbin=64, nu0=1500.0, bw=400.0, tsub=30.0, dDM=0.0,
+                     start_MJD=MJD(57100.0), noise_stds=0.02,
+                     dedispersed=True, quiet=True,
+                     rng=np.random.default_rng(7))
+    hdus = fits.read_fits(orig)
+    for h in hdus:
+        if h.name == "SUBINT":
+            h.columns.pop("DOPPLER")
+    foreign = str(tmp_path / "foreign.fits")
+    fits.write_fits(foreign, hdus)
+
+    data = load_data(foreign, quiet=True)
+    # independent recomputation from the same inputs
+    lat, lon = OBSERVATORY_COORDS["GBT"]
+    mjds = np.array([e.in_days() for e in data.epochs])
+    expect = doppler_factor(mjds, hms_to_deg("00:00:00"),
+                            dms_to_deg("00:00:00"), lat, lon)
+    np.testing.assert_allclose(data.doppler_factors, expect, rtol=0,
+                               atol=1e-12)
+    assert np.all(np.abs(data.doppler_factors - 1.0) > 1e-6)
+    assert np.all(np.isfinite(data.parallactic_angles))
+    assert np.any(data.parallactic_angles != 0.0)
+    # the archive's own DOPPLER column (ones) still overrides
+    data0 = load_data(orig, quiet=True)
+    np.testing.assert_array_equal(data0.doppler_factors, 1.0)
+
+    # bary=True multiplies DMs by df (and GMs by df^3)
+    dms = {}
+    for bary in (False, True):
+        gt = GetTOAs([foreign], gm, quiet=True)
+        gt.get_TOAs(bary=bary, quiet=True)
+        dms[bary] = np.array([t.DM for t in gt.TOA_list])
+    ratio = dms[True] / dms[False]
+    np.testing.assert_allclose(ratio, data.doppler_factors, rtol=1e-9)
+
+
 def test_parallactic_angle_sanity():
     """GMST/parallactic-angle formulas: transiting source has q ~ 0 for
     a northern site with dec < lat; unknown telescopes give NaN."""
