@@ -1,0 +1,178 @@
+"""Folding-period predictors: TEMPO POLYCO and tempo2 T2PREDICT tables.
+
+Real PSRCHIVE-written PSRFITS archives carry the folding phase model in
+a POLYCO or T2PREDICT binary-table HDU rather than this framework's
+PERIOD column; the reference reads folding periods through PSRCHIVE's
+predictor machinery (reference pplib.py:2732 get_folding_period,
+pplib.py:3165/3323 set_ephemeris -> polycos).  This module evaluates
+both predictor flavors directly so load_data gets correct per-subint
+topocentric periods from foreign files.
+
+POLYCO (TEMPO convention):
+    dt = (t - REF_MJD) * 1440 minutes
+    phase(t) = REF_PHS + dt*60*REF_F0 + c0 + c1*dt + c2*dt^2 + ...
+    f(t) [Hz] = REF_F0 + (1/60) * sum_{i>=1} i * c_i * dt^(i-1)
+
+T2PREDICT (tempo2 ChebyModelSet): phase(t, nu) = DISPERSION_CONSTANT/nu^2
++ 2-D Chebyshev series in scaled time/frequency, with the conventional
+1/2 weight on the zeroth-order row/column; f = dphase/dt via the
+analytic Chebyshev derivative (dT_n/dx = n*U_{n-1}).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- POLYCO
+
+def polyco_frequency(columns, mjds):
+    """Topocentric spin frequency [Hz] at each MJD from a PSRFITS
+    POLYCO table's columns ({name: array}); each epoch uses the block
+    whose REF_MJD is nearest."""
+    ref_mjd = np.atleast_1d(np.asarray(columns["REF_MJD"], dtype="f8"))
+    ref_f0 = np.atleast_1d(np.asarray(columns["REF_F0"], dtype="f8"))
+    coeff = np.atleast_2d(np.asarray(columns["COEFF"], dtype="f8"))
+    ncoef = np.atleast_1d(np.asarray(columns["NCOEF"],
+                                     dtype="i8")) if "NCOEF" in columns \
+        else np.full(len(ref_mjd), coeff.shape[1], dtype="i8")
+    out = np.empty(len(mjds))
+    for k, mjd in enumerate(np.asarray(mjds, dtype="f8")):
+        i = int(np.argmin(np.abs(ref_mjd - mjd)))
+        dt = (mjd - ref_mjd[i]) * 1440.0
+        n = int(ncoef[i])
+        c = coeff[i, :n]
+        # d/dt of the minute-domain polynomial, converted to Hz
+        powers = np.arange(1, n)
+        out[k] = ref_f0[i] + (powers * c[1:] * dt ** (powers - 1)).sum() \
+            / 60.0
+    return out
+
+
+def polyco_periods(columns, mjds):
+    """Folding periods [s] at each MJD (see polyco_frequency)."""
+    return 1.0 / polyco_frequency(columns, mjds)
+
+
+# ------------------------------------------------------------- T2PREDICT
+
+class ChebyModel:
+    """One tempo2 Chebyshev phase-model segment."""
+
+    def __init__(self):
+        self.t0 = self.t1 = None
+        self.f0 = self.f1 = None
+        self.dispersion_constant = 0.0
+        self.ncoeff_time = 0
+        self.ncoeff_freq = 0
+        self.coeffs = None            # (ncoeff_time, ncoeff_freq)
+
+    def contains(self, mjd):
+        return self.t0 <= mjd <= self.t1
+
+    def _scaled(self, mjd, freq_mhz):
+        x = 2.0 * (mjd - self.t0) / (self.t1 - self.t0) - 1.0
+        y = 2.0 * (freq_mhz - self.f0) / (self.f1 - self.f0) - 1.0
+        return x, y
+
+    @staticmethod
+    def _cheb_t(x, n):
+        T = np.empty(n)
+        T[0] = 1.0
+        if n > 1:
+            T[1] = x
+        for i in range(2, n):
+            T[i] = 2.0 * x * T[i - 1] - T[i - 2]
+        return T
+
+    @staticmethod
+    def _cheb_dt(x, n):
+        """dT_i/dx = i * U_{i-1}(x)."""
+        dT = np.empty(n)
+        dT[0] = 0.0
+        U = np.empty(max(n - 1, 1))
+        U[0] = 1.0
+        if n > 2:
+            U[1] = 2.0 * x
+        for i in range(2, n - 1):
+            U[i] = 2.0 * x * U[i - 1] - U[i - 2]
+        for i in range(1, n):
+            dT[i] = i * U[i - 1]
+        return dT
+
+    def _weights(self):
+        """Coefficient matrix with the conventional 1/2 factor on the
+        zeroth-order row and column."""
+        w = self.coeffs.copy()
+        w[0, :] *= 0.5
+        w[:, 0] *= 0.5
+        return w
+
+    def phase(self, mjd, freq_mhz):
+        x, y = self._scaled(mjd, freq_mhz)
+        Tx = self._cheb_t(x, self.ncoeff_time)
+        Ty = self._cheb_t(y, self.ncoeff_freq)
+        cheb = Tx @ self._weights() @ Ty
+        return cheb + self.dispersion_constant / freq_mhz ** 2
+
+    def frequency(self, mjd, freq_mhz):
+        """Spin frequency [Hz] = dphase/dt (phase per day / 86400)."""
+        x, y = self._scaled(mjd, freq_mhz)
+        dTx = self._cheb_dt(x, self.ncoeff_time)
+        Ty = self._cheb_t(y, self.ncoeff_freq)
+        dphase_dx = dTx @ self._weights() @ Ty
+        dx_dday = 2.0 / (self.t1 - self.t0)
+        return dphase_dx * dx_dday / 86400.0
+
+
+def parse_t2predict(lines):
+    """Parse T2PREDICT text lines into a list of ChebyModel segments."""
+    models = []
+    cur = None
+    rows = []
+    for raw in lines:
+        toks = raw.split()
+        if not toks:
+            continue
+        key = toks[0].upper()
+        if key == "CHEBYMODEL" and len(toks) > 1 and \
+                toks[1].upper() == "BEGIN":
+            cur = ChebyModel()
+            rows = []
+        elif key == "CHEBYMODEL" and len(toks) > 1 and \
+                toks[1].upper() == "END":
+            cur.coeffs = np.array(rows, dtype="f8").reshape(
+                cur.ncoeff_time, cur.ncoeff_freq)
+            models.append(cur)
+            cur = None
+        elif cur is None:
+            continue
+        elif key == "TIME_RANGE":
+            cur.t0, cur.t1 = float(toks[1]), float(toks[2])
+        elif key == "FREQ_RANGE":
+            cur.f0, cur.f1 = float(toks[1]), float(toks[2])
+        elif key == "DISPERSION_CONSTANT":
+            cur.dispersion_constant = float(toks[1])
+        elif key == "NCOEFF_TIME":
+            cur.ncoeff_time = int(toks[1])
+        elif key == "NCOEFF_FREQ":
+            cur.ncoeff_freq = int(toks[1])
+        elif key == "COEFFS":
+            rows.extend(float(t) for t in toks[1:])
+    return models
+
+
+def t2predict_periods(lines, mjds, freq_mhz):
+    """Folding periods [s] at each MJD from T2PREDICT text lines,
+    evaluated at the archive center frequency."""
+    models = parse_t2predict(lines)
+    if not models:
+        raise ValueError("no ChebyModel segments in T2PREDICT table")
+    out = np.empty(len(mjds))
+    for k, mjd in enumerate(np.asarray(mjds, dtype="f8")):
+        seg = next((m for m in models if m.contains(mjd)), None)
+        if seg is None:   # nearest segment by midpoint
+            seg = min(models,
+                      key=lambda m: abs(0.5 * (m.t0 + m.t1) - mjd))
+        out[k] = 1.0 / seg.frequency(mjd, freq_mhz)
+    return out

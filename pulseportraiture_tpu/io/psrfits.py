@@ -277,29 +277,56 @@ def read_psrfits(path) -> Archive:
     if weights.shape[0] == 1 and nsub > 1:
         weights = np.broadcast_to(weights, (nsub, nchan)).copy()
     dop = sub.columns.get("DOPPLER")
-    # PERIOD is this framework's column; standard PSRFITS stores the spin
-    # model in a POLYCO table or only in the ephemeris.  Fall back to
-    # F0/F1 from PSRPARAM evaluated at each subint epoch.
+    # PERIOD is this framework's column; real PSRCHIVE archives store
+    # the phase model in a POLYCO or T2PREDICT table (reference
+    # pplib.py:3165, periods read via the predictor at pplib.py:2732).
+    # Fall back to F0/F1 from PSRPARAM evaluated at each subint epoch.
+    mjds = [e.in_days() for e in epochs]
     if "PERIOD" in sub.columns:
         Ps = np.asarray(sub.columns["PERIOD"], dtype="f8")
+    elif "POLYCO" in by_name:
+        from pulseportraiture_tpu.io.predictor import polyco_periods
+        Ps = polyco_periods(by_name["POLYCO"].columns, mjds)
+    elif "T2PREDICT" in by_name:
+        from pulseportraiture_tpu.io.predictor import t2predict_periods
+        lines = [p.decode("ascii").rstrip() for p in
+                 by_name["T2PREDICT"].columns["PREDICT"]]
+        Ps = t2predict_periods(
+            lines, mjds, float(primary.header.get("OBSFREQ", 0.0)))
     elif eph is not None:
         from pulseportraiture_tpu.io.par import parse_par, period_at
         par = parse_par(eph)
-        Ps = np.array([period_at(par, e.in_days()) for e in epochs])
+        Ps = np.array([period_at(par, m) for m in mjds])
     else:
-        raise ValueError(f"{path}: no PERIOD column and no PSRPARAM "
-                         "ephemeris to derive folding periods from")
+        raise ValueError(f"{path}: no PERIOD column, no POLYCO/T2PREDICT "
+                         "table, and no PSRPARAM ephemeris to derive "
+                         "folding periods from")
     state = {"AA+BB": "Intensity", "INTEN": "Intensity",
              "IQUV": "Stokes"}.get(str(h.get("POL_TYPE", "AA+BB")).strip(),
                                    "Coherence")
     if npol == 1:
         state = "Intensity"
+    # DM / dedispersion state: this framework and PSRFITS v3+ keep DM in
+    # the SUBINT header; older PSRCHIVE files record processing state in
+    # the HISTORY table's last row (DEDISP flag, CHAN_DM-style DM).
+    DM = h.get("DM")
+    dedispersed = h.get("DEDISP")
+    if "HISTORY" in by_name:
+        hist = by_name["HISTORY"].columns
+        if dedispersed is None and "DEDISP" in hist:
+            dedispersed = bool(np.asarray(hist["DEDISP"])[-1])
+        if DM is None and "CHAN_DM" in hist:
+            DM = float(np.asarray(hist["CHAN_DM"])[-1])
+    if DM is None and eph is not None:
+        from pulseportraiture_tpu.io.par import parse_par
+        DM = parse_par(eph).DM
     return Archive(
         data=data, freqs=freqs, weights=weights,
         Ps=Ps,
         epochs=epochs,
         subtimes=np.asarray(sub.columns["TSUBINT"], dtype="f8"),
-        DM=float(h.get("DM", 0.0)), dedispersed=bool(h.get("DEDISP", False)),
+        DM=float(DM if DM is not None else 0.0),
+        dedispersed=bool(dedispersed if dedispersed is not None else False),
         nu0=float(primary.header.get("OBSFREQ", 0.0)),
         bw=float(primary.header.get("OBSBW", 0.0)),
         source=str(primary.header.get("SRC_NAME", "")),

@@ -174,6 +174,83 @@ def test_foreign_psrfits_missing_period_column(tmp_path):
     assert a1.doppler_factors is None
 
 
+def test_psrchive_style_polyco_fixture():
+    """The checked-in PSRCHIVE-flavored fixture (POLYCO + HISTORY, no
+    PERIOD/DOPPLER columns, no DM/DEDISP header keys) loads with
+    polyco-derived periods and HISTORY-derived state."""
+    import os
+
+    import numpy as np
+
+    from pulseportraiture_tpu.io.archive import load_data
+    from pulseportraiture_tpu.io.psrfits import read_psrfits
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "psrchive_style.fits")
+    arch = read_psrfits(fixture)
+    assert arch.dedispersed is True          # HISTORY last-row DEDISP
+    np.testing.assert_allclose(arch.DM, 12.3456)   # HISTORY CHAN_DM
+    # periods come from the POLYCO evaluation, not the PSRPARAM F0
+    # fallback: the polyco's apparent F0 is Doppler-shifted by 8.5e-5
+    F0_par = 345.6789012345
+    mjds = np.array([e.in_days() for e in arch.epochs])
+    # independent polyco evaluation (generator values, see
+    # scripts/make_psrchive_fixture.py)
+    ref_mjds = np.array([57202 - 0.5 + 21600 / 86400.0,
+                         57202 + 0.5 + 21600 / 86400.0])
+    ref_f0s = F0_par * (1 - 8.5e-5) * np.array([1.0, 1 - 1e-7])
+    i = np.argmin(np.abs(ref_mjds[None] - mjds[:, None]), axis=1)
+    dt_min = (mjds - ref_mjds[i]) * 1440.0
+    f = ref_f0s[i] + (1.2e-6 + 2 * -3.0e-10 * dt_min) / 60.0
+    np.testing.assert_allclose(arch.Ps, 1.0 / f, rtol=0, atol=1e-16)
+    assert np.all(np.abs(arch.Ps - 1.0 / F0_par) > 1e-7 / F0_par)
+    # epochs = start + OFFS_SUB
+    np.testing.assert_allclose(
+        mjds, 57202 + (21600 + np.array([15.0, 45.0])) / 86400.0,
+        rtol=0, atol=1e-12)
+    # and the full loader runs end-to-end on it (analytic Doppler path)
+    data = load_data(fixture, quiet=True)
+    assert data.nchan == 4 and data.nbin == 64
+    assert np.all(np.abs(data.doppler_factors - 1.0) > 1e-7)
+
+
+def test_t2predict_chebymodel():
+    """tempo2 ChebyModelSet: a linear-in-time phase model round-trips
+    through the parser/evaluator to the exact apparent frequency."""
+    import numpy as np
+
+    from pulseportraiture_tpu.io.predictor import (parse_t2predict,
+                                                   t2predict_periods)
+
+    t0, t1 = 57000.0, 57002.0
+    f_app = 123.456789          # Hz
+    B, A = 1000.25, f_app * 86400.0 * (t1 - t0) / 2.0
+    # phase = B + A*x with the 1/2 zeroth-order weights:
+    # c00*(1/4) = B, c10*(1/2) = A
+    lines = [
+        "ChebyModelSet 1 segments",
+        "ChebyModel begin",
+        "PSRNAME J0000+00",
+        "SITENAME gbt",
+        f"TIME_RANGE {t0} {t1}",
+        "FREQ_RANGE 1000 2000",
+        "DISPERSION_CONSTANT -7.3e3",
+        "NCOEFF_TIME 2",
+        "NCOEFF_FREQ 1",
+        f"COEFFS {4.0 * B}",
+        f"COEFFS {2.0 * A}",
+        "ChebyModel end",
+    ]
+    models = parse_t2predict(lines)
+    assert len(models) == 1
+    m = models[0]
+    # phase at midpoint (x=0): B + dispersion term
+    np.testing.assert_allclose(m.phase(57001.0, 1500.0),
+                               B - 7.3e3 / 1500.0 ** 2, rtol=1e-12)
+    Ps = t2predict_periods(lines, [57000.3, 57001.7], 1500.0)
+    np.testing.assert_allclose(Ps, 1.0 / f_app, rtol=1e-12)
+
+
 def test_doppler_from_ephemeris(tmp_path):
     """load_data on a DOPPLER-less archive computes per-subint Doppler
     factors and parallactic angles from the stored ephemeris + site
