@@ -24,13 +24,22 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_mats(nbin: int, dtype: str):
+def _dft_mats_np(nbin: int, dtype: str):
     k = np.arange(nbin // 2 + 1)
     j = np.arange(nbin)
     ang = 2.0 * np.pi * np.outer(j, k) / nbin
     # high-precision host build, cast to target dtype
     cos_m = np.cos(ang).astype(dtype)
     sin_m = np.sin(ang).astype(dtype)
+    return cos_m, sin_m
+
+
+def _dft_mats(nbin: int, dtype: str):
+    # Cache NumPy only: jnp conversion inside a jit trace yields a
+    # tracer, and caching that leaks it into later traces (seen as
+    # UnexpectedTracerError on the second fit at a given nbin).  The
+    # per-trace asarray below is a compile-time constant — free at run.
+    cos_m, sin_m = _dft_mats_np(nbin, dtype)
     return jnp.asarray(cos_m), jnp.asarray(sin_m)
 
 

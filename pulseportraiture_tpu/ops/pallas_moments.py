@@ -40,7 +40,9 @@ def _kernel(phis_ref, gr_ref, gi_ref, out_ref):
     gr = gr_ref[:]                          # (CBLK, nharm)
     gi = gi_ref[:]
     nharm = gr.shape[-1]
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
+    # Mosaic requires integer iota results; cast to f32 afterwards.
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, nharm), 1).astype(
+        jnp.float32)
     # shared double-single phase product
     c, s = _phase_trig(phis[:, 0], k)
     zr = gr * c - gi * s                    # Re(G e^{i ang})
@@ -129,7 +131,9 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     gi = gi_ref[:]
     m2 = m2_ref[:]
     nharm = gr.shape[-1]
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, nharm), 1)
+    # Mosaic requires integer iota results; cast to f32 afterwards.
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, nharm), 1).astype(
+        jnp.float32)
     # shared double-single phase product
     Pr, Pi = _phase_trig(phis[:, 0], k)
 
