@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NCHAN = int(os.environ.get("PP_BENCH_NCHAN", 4096))
 NBIN = int(os.environ.get("PP_BENCH_NBIN", 2048))
-BATCH = int(os.environ.get("PP_BENCH_BATCH", 8))
-REPS = int(os.environ.get("PP_BENCH_REPS", 3))
+BATCH = int(os.environ.get("PP_BENCH_BATCH", 32))
+REPS = int(os.environ.get("PP_BENCH_REPS", 10))
 
 
 def _backend_alive(timeout_s=240):
@@ -85,30 +85,42 @@ def main():
                                n=NBIN, axis=-1)
     data += rng.normal(0, noise, data.shape).astype(np.float32)
 
-    data = jnp.asarray(data)
-    model_b = jnp.broadcast_to(jnp.asarray(model), data.shape)
+    data = jax.device_put(jnp.asarray(data))
+    # 2-D shared model: the production fast path (one template per
+    # archive); the model DFT and M2 are computed once per batch.
+    model_j = jax.device_put(jnp.asarray(model))
     init = jnp.zeros((BATCH, 5), jnp.float32)
     Ps = jnp.full(BATCH, P, jnp.float32)
     freqs_j = jnp.asarray(freqs, jnp.float32)
     errs = jnp.full((BATCH, NCHAN), noise, jnp.float32)
+    nu_fits = jnp.full((BATCH, 3), nu_fit, jnp.float32)
 
     def run():
-        res = fit_portrait_full_batch(data, model_b, init, Ps, freqs_j,
-                                      errs, fit_flags=(1, 1, 0, 0, 0),
-                                      log10_tau=False, max_iter=30,
-                                      fft_matmul=True, scattering=False)
-        jax.block_until_ready(res.params)
-        return res
+        return fit_portrait_full_batch(data, model_j, init, Ps, freqs_j,
+                                       errs, nu_fits=nu_fits,
+                                       fit_flags=(1, 1, 0, 0, 0),
+                                       log10_tau=False, max_iter=30,
+                                       fft_matmul=True, scattering=False,
+                                       dft_precision="high")
 
     res = run()  # compile + warmup
+    np.asarray(res.params)  # full fetch: block_until_ready alone can
+    # return before remote execution finishes on tunneled backends
     params = np.asarray(res.params)
-    max_dphi = np.abs(params[:, 0] - phis).max()
-    times = []
-    for _ in range(REPS):
-        t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    dt = min(times)
+    nu_out = np.asarray(res.nu_DM)
+    from pulseportraiture_tpu.ops.transform import phase_transform
+    phi_back = np.asarray(jax.vmap(
+        lambda p, d, n: phase_transform(p, d, n, jnp.float32(nu_fit),
+                                        jnp.float32(P), mod=True))(
+        jnp.asarray(params[:, 0]), jnp.asarray(params[:, 1]),
+        jnp.asarray(nu_out)))
+    max_dphi = np.abs(phi_back - phis).max()
+    # pipelined timing: queue REPS executions, sync once — the remote-
+    # tunnel dispatch latency (~30 ms/call) otherwise dominates
+    t0 = time.time()
+    rs = [run() for _ in range(max(REPS, 1))]
+    np.asarray(rs[-1].params)
+    dt = (time.time() - t0) / max(REPS, 1)
     fits_per_sec = BATCH / dt
     print(json.dumps({
         "metric": "portrait fits (phase+DM)/sec/chip at "

@@ -183,7 +183,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     if not all(n is not None for n in nu_outs):
         nz_DM, nz_GM, nz_tau = nu_zeros.get_nu_zeros(
             res.x, setup, fit_flags=fit_flags, log10_tau=log10_tau,
-            option=option)
+            option=option, scattering=scattering)
         if nu_out_DM is None:
             nu_out_DM = nz_DM
         if nu_out_GM is None:
@@ -239,7 +239,7 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
     duration = time.time() - start
 
     nz = nu_zeros.get_nu_zeros(res.x, setup, fit_flags=fit_flags,
-                               log10_tau=False)
+                               log10_tau=False, scattering=False)
     nu_zero = nz[0]
     nu_out = nu_zero if nu_out is None else jnp.asarray(nu_out)
     params_out = _rereference(res.x, setup, nu_out, jnp.inf, jnp.inf, False)
@@ -275,17 +275,22 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
-                                    "fft_matmul", "scattering"))
+                                    "fft_matmul", "scattering",
+                                    "dft_precision"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=False,
-                            scattering=None):
+                            scattering=None, dft_precision=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
-    data_ports/model_ports: (B, nchan, nbin); Ps: (B,); freqs: (B, nchan) or
-    (nchan,); errs: (B, nchan); weights: optional (B, nchan) mask.
-    nu_fits: (B, 3) or None (defaults to per-item mean frequency).
+    data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
+    (nchan, nbin) when every item shares one model — the shared-model
+    fast path computes the model DFT and M2 once instead of B times
+    (the production case: one template per archive).  Ps: (B,); freqs:
+    (B, nchan) or (nchan,); errs: (B, nchan); weights: optional
+    (B, nchan) mask.  nu_fits: (B, 3) or None (defaults to per-item
+    mean frequency).
 
     Output references use the closed-form zero-covariance branches (the
     polynomial GM branches are host-only; batched GM fits re-reference at
@@ -303,16 +308,25 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     if weights is None:
         weights = jnp.ones_like(errs)
 
+    shared_mft = None
+    if model_ports.ndim == 2:
+        # one DFT for the whole batch; M2/S0 materialize once under vmap
+        shared_mft = stats.model_ft(model_ports, fft_matmul=fft_matmul,
+                                    dft_precision=dft_precision)
+
     def one(data, model, x0, P, fr, er, wt, nf):
         setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
-                                 weights=wt, fft_matmul=fft_matmul)
+                                 weights=wt, fft_matmul=fft_matmul,
+                                 model_ft_ri=shared_mft,
+                                 dft_precision=dft_precision)
         res = newton.trust_region_minimize(
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,
                                                  log10_tau=log10_tau,
                                                  scattering=scattering),
             x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14)
-        nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau)
+        nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau,
+                                    scattering=scattering)
         nu_out_DM, nu_out_GM, nu_out_tau = nzs
         if fit_flags[1]:
             nu_out_GM = nu_out_DM
@@ -333,11 +347,17 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
             niter=res.niter, nfeval=res.nfev, return_code=res.status)
 
+    if shared_mft is not None:
+        return jax.vmap(
+            lambda d, x0, P, fr, er, wt, nf:
+                one(d, None, x0, P, fr, er, wt, nf))(
+            data_ports, init_params, Ps, freqs, errs, weights, nu_fits)
     return jax.vmap(one)(data_ports, model_ports, init_params, Ps, freqs,
                          errs, weights, nu_fits)
 
 
-def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau):
+def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau,
+                          scattering=True):
     """In-jit zero-covariance frequencies for closed-form flag combos.
 
     Falls back to the fit references for polynomial (GM) branches.
@@ -346,6 +366,7 @@ def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau):
     if ff in ((1, 1, 0, 0, 0), (1, 0, 1, 0, 0), (0, 0, 0, 1, 1),
               (1, 1, 0, 1, 0), (1, 1, 0, 1, 1), (1, 1, 1, 1, 1)):
         nz = nu_zeros.get_nu_zeros(params, setup, fit_flags=ff,
-                                   log10_tau=log10_tau)
+                                   log10_tau=log10_tau,
+                                   scattering=scattering)
         return nz[0], nz[1], nz[2]
     return setup.nu_DM, setup.nu_GM, setup.nu_tau

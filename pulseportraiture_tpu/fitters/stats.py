@@ -78,32 +78,56 @@ class FitSetup(NamedTuple):
                         # recovers even nbin; needed for dof)
 
 
+def model_ft(model_port, f0_fact=F0_FACT, fft_matmul=False,
+             dft_precision=None):
+    """Precompute the model rFFT as a split (mr, mi) pair for make_setup.
+
+    Production batches share one model portrait across every subint of an
+    archive; computing its transform once (outside the per-item vmap)
+    removes B-1 redundant MXU DFTs and materializes M2 once instead of B
+    times."""
+    model_port = jnp.asarray(model_port)
+    if fft_matmul:
+        from pulseportraiture_tpu.ops.fourier import rfft_matmul_ri
+        mr, mi = rfft_matmul_ri(model_port, precision=dft_precision)
+    else:
+        mFT = jnp.fft.rfft(model_port, axis=-1)
+        mr, mi = mFT.real, mFT.imag
+    if not f0_fact:
+        mr = mr.at[..., 0].set(0.0)
+        mi = mi.at[..., 0].set(0.0)
+    return mr, mi
+
+
 def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
-               weights=None, f0_fact=F0_FACT, fft_matmul=False):
+               weights=None, f0_fact=F0_FACT, fft_matmul=False,
+               model_ft_ri=None, dft_precision=None):
     """Build a FitSetup from time-domain portraits.
 
     errs: per-channel time-domain noise std (Fourier noise = errs*sqrt(nbin/2),
     reference pptoaslib.py:980-984).  weights: optional 0/1 channel mask.
     fft_matmul=True computes the rFFTs as MXU DFT matmuls (the TPU-native
     path: XLA FFT compiles extremely slowly at large nbin; see ops.fourier).
+    model_ft_ri: optional precomputed (mr, mi) from model_ft() — the shared-
+    model batched path; model_port is ignored (may be None) when given.
     """
     data_port = jnp.asarray(data_port)
-    model_port = jnp.asarray(model_port)
     nbin = data_port.shape[-1]
     if fft_matmul:
         from pulseportraiture_tpu.ops.fourier import rfft_matmul_ri
-        dr, di = rfft_matmul_ri(data_port)
-        mr, mi = rfft_matmul_ri(model_port)
+        dr, di = rfft_matmul_ri(data_port, precision=dft_precision)
     else:
         dFT = jnp.fft.rfft(data_port, axis=-1)
-        mFT = jnp.fft.rfft(model_port, axis=-1)
         dr, di = dFT.real, dFT.imag
-        mr, mi = mFT.real, mFT.imag
+    if model_ft_ri is not None:
+        mr, mi = model_ft_ri
+    else:
+        mr, mi = model_ft(jnp.asarray(model_port), f0_fact=f0_fact,
+                          fft_matmul=fft_matmul,
+                          dft_precision=dft_precision)
     if not f0_fact:
         dr = dr.at[..., 0].set(0.0)
         di = di.at[..., 0].set(0.0)
-        mr = mr.at[..., 0].set(0.0)
-        mi = mi.at[..., 0].set(0.0)
     errs_FT = jnp.asarray(errs) * jnp.sqrt(nbin / 2.0)
     w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
     if weights is not None:

@@ -77,7 +77,26 @@ def irfft_matmul(X, n=None, axis=-1):
     return x * (2.0 / nbin)
 
 
-def rfft_matmul_ri(x, axis=-1):
+def _dft_precision(precision=None):
+    """Matmul precision for the DFT: HIGHEST by default; PP_DFT_PRECISION
+    = highest|high|default overrides (trace-time).  On TPU v5e, HIGHEST
+    f32 runs ~28 TFLOP/s (6-pass bf16) vs ~60 at HIGH and ~119 at
+    DEFAULT; HIGH keeps ~2^-21 relative accuracy, enough for the 1e-9
+    phase-parity budget (measured in PERF.md)."""
+    if precision is not None:
+        if isinstance(precision, str):
+            return {"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT}[precision.lower()]
+        return precision
+    import os
+    env = os.environ.get("PP_DFT_PRECISION", "highest").lower()
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[env]
+
+
+def rfft_matmul_ri(x, axis=-1, precision=None):
     """rfft via MXU matmuls, returned as a (real, imag) pair.
 
     Split-real form: no complex arrays are materialized (TPU-friendly
@@ -86,8 +105,9 @@ def rfft_matmul_ri(x, axis=-1):
     assert axis in (-1, x.ndim - 1)
     nbin = x.shape[-1]
     cos_m, sin_m = _dft_mats(nbin, str(x.dtype))
+    prec = _dft_precision(precision)
     re = jnp.matmul(x, cos_m, preferred_element_type=x.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
     im = -jnp.matmul(x, sin_m, preferred_element_type=x.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+                     precision=prec)
     return re, im

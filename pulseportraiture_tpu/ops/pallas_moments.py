@@ -12,8 +12,10 @@ zero scattering):
 XLA emits this as a fused elementwise+reduce too, but materializes the
 trig intermediates between the value/grad/hess consumers in some
 batched-while-loop contexts; this kernel guarantees ONE pass over G per
-Newton iteration at HBM-bandwidth speed: read 8 bytes/element, compute
-sin/cos once, accumulate all three moments in VMEM.
+Newton iteration at HBM-bandwidth speed: read 8 bytes/element, do one
+complex multiply per element (the transcendentals run on nk/128 + 128
+values per channel via phasor factorization), accumulate all three
+moments in VMEM.
 
 Channel weights are applied by the caller (they multiply the per-channel
 outputs, not the harmonic elements).
@@ -31,26 +33,60 @@ from pulseportraiture_tpu.fitters.stats import _phase_trig
 
 TWO_PI = 2.0 * np.pi
 
-# channels per program: 8 f32 sublanes
-_CBLK = 8
+# harmonic lanes per inner step: one full VPU lane vector
+_LANES = 128
 
 
-def _kernel(phis_ref, gr_ref, gi_ref, out_ref):
+def _chan_block(nchan, cap=256):
+    """Channels per program: large blocks amortize grid overhead; small
+    portraits get one padded-to-sublane block.  cap bounds the scoped-
+    VMEM footprint (the 9-accumulator scattering kernel overflows the
+    16 MB scoped limit above 64 channels/program)."""
+    if nchan >= cap:
+        return cap
+    return nchan + ((-nchan) % 8)
+
+
+def _phase_kernel(phis_ref, gr_ref, gi_ref, out_ref):
+    """Single-pass moments over a (CBLK, nk) block, nk % 128 == 0.
+
+    The phasor e^{2 pi i t k} is factored as e^{i t 128 q} * e^{i t r}
+    (k = 128 q + r): double-single trig runs on nk/128 + 128 values per
+    channel instead of nk, and each element costs one complex multiply
+    on the VPU.  Accumulators stay full lane vectors; the cross-lane
+    reduce happens once at the end.
+    """
     phis = phis_ref[:]                      # (CBLK, 1)
-    gr = gr_ref[:]                          # (CBLK, nharm)
-    gi = gi_ref[:]
-    nharm = gr.shape[-1]
+    p = phis[:, 0]
+    nk = gr_ref.shape[-1]
+    nq = nk // _LANES
     # Mosaic requires integer iota results; cast to f32 afterwards.
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, nharm), 1).astype(
+    kr = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1).astype(
         jnp.float32)
-    # shared double-single phase product
-    c, s = _phase_trig(phis[:, 0], k)
-    zr = gr * c - gi * s                    # Re(G e^{i ang})
-    zi = gr * s + gi * c                    # Im(G e^{i ang})
-    C = jnp.sum(zr, axis=-1)
-    Cp = (-TWO_PI) * jnp.sum(k * zi, axis=-1)
-    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(k * k * zr, axis=-1)
-    out_ref[:] = jnp.stack([C, Cp, Cpp], axis=-1)   # (CBLK, 3)
+    kq = (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1) *
+          _LANES).astype(jnp.float32)
+    cr, sr = _phase_trig(p, kr)             # (CBLK, 128)
+    cq, sq = _phase_trig(p, kq)             # (CBLK, nq)
+    accC = jnp.zeros_like(cr)
+    accCp = jnp.zeros_like(cr)
+    accCpp = jnp.zeros_like(cr)
+    for q in range(nq):
+        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES]
+        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES]
+        cqq = cq[:, q:q + 1]
+        sqq = sq[:, q:q + 1]
+        Pr = cqq * cr - sqq * sr
+        Pi = cqq * sr + sqq * cr
+        zr = gr * Pr - gi * Pi              # Re(G e^{i ang})
+        zi = gr * Pi + gi * Pr              # Im(G e^{i ang})
+        w1 = kr + jnp.float32(q * _LANES)
+        accC = accC + zr
+        accCp = accCp + w1 * zi
+        accCpp = accCpp + (w1 * w1) * zr
+    C = jnp.sum(accC, axis=-1)
+    Cp = (-TWO_PI) * jnp.sum(accCp, axis=-1)
+    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(accCpp, axis=-1)
+    out_ref[:] = jnp.stack([C, Cp, Cpp], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -64,33 +100,54 @@ def _phase_moments_impl(phis, Gr, Gi, interpret=False):
     Gr = Gr.astype(jnp.float32)
     Gi = Gi.astype(jnp.float32)
     nchan, nharm = Gr.shape
+    nk = (nharm // _LANES) * _LANES
+    if nk == 0:
+        out = phase_moments_reference(phis, Gr, Gi)
+        return tuple(o.astype(orig_dtype) for o in out)
+    cblk = _chan_block(nchan)
     # pad channels to the block size
-    pad = (-nchan) % _CBLK
+    pad = (-nchan) % cblk
     if pad:
         Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
         Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
         phis = jnp.pad(phis, [(0, pad)])
     ntot = nchan + pad
-    grid = (ntot // _CBLK,)
+    grid = (ntot // cblk,)
 
     out = pl.pallas_call(
-        _kernel,
+        _phase_kernel,
         out_shape=jax.ShapeDtypeStruct((ntot, 3), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_CBLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((cblk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CBLK, nharm), lambda i: (i, 0),
+            # (cblk, nk) blocks of the (ntot, nharm) array: the kernel
+            # covers full 128-lane groups; the tail harmonics (nharm is
+            # typically 2^m + 1, so one Nyquist lane) are added in XLA.
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CBLK, nharm), lambda i: (i, 0),
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CBLK, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((cblk, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(phis[..., None], Gr, Gi)
-    out = out[..., :nchan, :].astype(orig_dtype)
-    return out[..., 0], out[..., 1], out[..., 2]
+    out = out[:nchan, :]
+    C, Cp, Cpp = out[..., 0], out[..., 1], out[..., 2]
+    if nharm > nk:
+        phis_n = phis[:nchan]
+        k_t = jnp.arange(nk, nharm, dtype=jnp.float32)
+        c, s = _phase_trig(phis_n, k_t)
+        gr_t = Gr[:nchan, nk:]
+        gi_t = Gi[:nchan, nk:]
+        zr = gr_t * c - gi_t * s
+        zi = gr_t * s + gi_t * c
+        C = C + jnp.sum(zr, axis=-1)
+        Cp = Cp + (-TWO_PI) * jnp.sum(k_t * zi, axis=-1)
+        Cpp = Cpp + (-TWO_PI * TWO_PI) * jnp.sum(k_t * k_t * zr, axis=-1)
+    return (C.astype(orig_dtype), Cp.astype(orig_dtype),
+            Cpp.astype(orig_dtype))
 
 
 def phase_moments(phis, Gr, Gi, interpret=None):
@@ -124,35 +181,101 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     Mirrors fitters.stats._moments order=2 (reference pptoaslib.py
     318-523): phasor x scattering-FT algebra with B = 1/(1 + i c tau),
     f = dB/dtau = -2 pi i k B^2, g2 = d2B/dtau2 = -8 pi^2 k^2 B^3.
+    Same blocked/factored-phasor structure as _phase_kernel.
     """
     phis = phis_ref[:]
     taus = taus_ref[:]
-    gr = gr_ref[:]
-    gi = gi_ref[:]
-    m2 = m2_ref[:]
-    nharm = gr.shape[-1]
+    p = phis[:, 0]
+    nk = gr_ref.shape[-1]
+    nq = nk // _LANES
     # Mosaic requires integer iota results; cast to f32 afterwards.
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, nharm), 1).astype(
+    kr = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1).astype(
         jnp.float32)
-    # shared double-single phase product
-    Pr, Pi = _phase_trig(phis[:, 0], k)
+    kq = (jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1) *
+          _LANES).astype(jnp.float32)
+    cqv, sqv = _phase_trig(p, kq)
+    crv, srv = _phase_trig(p, kr)
+    acc = [jnp.zeros_like(crv) for _ in range(9)]
+    for q in range(nq):
+        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES]
+        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES]
+        m2 = m2_ref[:, q * _LANES:(q + 1) * _LANES]
+        cqq = cqv[:, q:q + 1]
+        sqq = sqv[:, q:q + 1]
+        Pr = cqq * crv - sqq * srv
+        Pi = cqq * srv + sqq * crv
+        k = kr + jnp.float32(q * _LANES)
 
-    ct = TWO_PI * k * taus
+        ct = TWO_PI * k * taus
+        Bden = 1.0 + ct * ct
+        Br = 1.0 / Bden
+        Bi = -ct / Bden
+        Ar = gr * Br + gi * Bi
+        Ai = gi * Br - gr * Bi
+        zr = Ar * Pr - Ai * Pi
+        zi = Ar * Pi + Ai * Pr
+        B2 = Br * Br + Bi * Bi
+
+        cb2r = Br * Br - Bi * Bi
+        cb2i = -2.0 * Br * Bi
+        cfr = TWO_PI * k * (-cb2i)
+        cfi = TWO_PI * k * cb2r
+        GPr = gr * Pr - gi * Pi
+        GPi = gr * Pi + gi * Pr
+        zfr = GPr * cfr - GPi * cfi
+        zfi = GPr * cfi + GPi * cfr
+        u1 = 2.0 * (Br * cfr - Bi * cfi)
+
+        cb3r = cb2r * Br + cb2i * Bi
+        cb3i = -cb2r * Bi + cb2i * Br
+        w2k2 = -(TWO_PI ** 2) * 2.0 * k * k
+        cgr = w2k2 * cb3r
+        cgi = w2k2 * cb3i
+        zgr = GPr * cgr - GPi * cgi
+        f2 = cfr * cfr + cfi * cfi
+        u2 = 2.0 * (f2 + (Br * cgr - Bi * cgi))
+
+        acc[0] = acc[0] + zr
+        acc[1] = acc[1] + B2 * m2
+        acc[2] = acc[2] + k * zi
+        acc[3] = acc[3] + zfr
+        acc[4] = acc[4] + u1 * m2
+        acc[5] = acc[5] + (k * k) * zr
+        acc[6] = acc[6] + k * zfi
+        acc[7] = acc[7] + zgr
+        acc[8] = acc[8] + u2 * m2
+    C = jnp.sum(acc[0], axis=-1)
+    S = jnp.sum(acc[1], axis=-1)
+    Cp = (-TWO_PI) * jnp.sum(acc[2], axis=-1)
+    Rf = jnp.sum(acc[3], axis=-1)
+    S1 = jnp.sum(acc[4], axis=-1)
+    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(acc[5], axis=-1)
+    If1 = (-TWO_PI) * jnp.sum(acc[6], axis=-1)
+    Rg = jnp.sum(acc[7], axis=-1)
+    S2 = jnp.sum(acc[8], axis=-1)
+    out_ref[:] = jnp.stack([C, S, Cp, Rf, S1, Cpp, If1, Rg, S2], axis=-1)
+
+
+def _scat_terms_ref(phis, taus, Gr, Gi, M2, k):
+    """jnp evaluation of the 9 scattering reductions (any k range)."""
+    c, s = _phase_trig(phis, k)
+    taus_e = taus[..., None]
+    ct = TWO_PI * k * taus_e
     Bden = 1.0 + ct * ct
     Br = 1.0 / Bden
     Bi = -ct / Bden
-    Ar = gr * Br + gi * Bi
-    Ai = gi * Br - gr * Bi
-    zr = Ar * Pr - Ai * Pi
-    zi = Ar * Pi + Ai * Pr
+    Ar = Gr * Br + Gi * Bi
+    Ai = Gi * Br - Gr * Bi
+    zr = Ar * c - Ai * s
+    zi = Ar * s + Ai * c
     B2 = Br * Br + Bi * Bi
 
     cb2r = Br * Br - Bi * Bi
     cb2i = -2.0 * Br * Bi
     cfr = TWO_PI * k * (-cb2i)
     cfi = TWO_PI * k * cb2r
-    GPr = gr * Pr - gi * Pi
-    GPi = gr * Pi + gi * Pr
+    GPr = Gr * c - Gi * s
+    GPi = Gr * s + Gi * c
     zfr = GPr * cfr - GPi * cfi
     zfi = GPr * cfi + GPi * cfr
     u1 = 2.0 * (Br * cfr - Bi * cfi)
@@ -167,15 +290,15 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     u2 = 2.0 * (f2 + (Br * cgr - Bi * cgi))
 
     C = jnp.sum(zr, axis=-1)
-    S = jnp.sum(B2 * m2, axis=-1)
+    S = jnp.sum(B2 * M2, axis=-1)
     Cp = (-TWO_PI) * jnp.sum(k * zi, axis=-1)
     Rf = jnp.sum(zfr, axis=-1)
-    S1 = jnp.sum(u1 * m2, axis=-1)
+    S1 = jnp.sum(u1 * M2, axis=-1)
     Cpp = (-TWO_PI * TWO_PI) * jnp.sum(k * k * zr, axis=-1)
     If1 = (-TWO_PI) * jnp.sum(k * zfi, axis=-1)
     Rg = jnp.sum(zgr, axis=-1)
-    S2 = jnp.sum(u2 * m2, axis=-1)
-    out_ref[:] = jnp.stack([C, S, Cp, Rf, S1, Cpp, If1, Rg, S2], axis=-1)
+    S2 = jnp.sum(u2 * M2, axis=-1)
+    return C, S, Cp, Rf, S1, Cpp, If1, Rg, S2
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -191,7 +314,13 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
     Gi = Gi.astype(jnp.float32)
     M2 = M2.astype(jnp.float32)
     nchan, nharm = Gr.shape
-    pad = (-nchan) % _CBLK
+    nk = (nharm // _LANES) * _LANES
+    if nk == 0:
+        k = jnp.arange(nharm, dtype=jnp.float32)
+        out = _scat_terms_ref(phis, taus, Gr, Gi, M2, k)
+        return tuple(o.astype(orig_dtype) for o in out)
+    cblk = _chan_block(nchan, cap=64)
+    pad = (-nchan) % cblk
     if pad:
         Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
         Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
@@ -199,22 +328,28 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
         phis = jnp.pad(phis, [(0, pad)])
         taus = jnp.pad(taus, [(0, pad)])
     ntot = nchan + pad
-    grid = (ntot // _CBLK,)
-    spec1 = pl.BlockSpec((_CBLK, 1), lambda i: (i, 0),
+    grid = (ntot // cblk,)
+    spec1 = pl.BlockSpec((cblk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    specH = pl.BlockSpec((_CBLK, nharm), lambda i: (i, 0),
+    specH = pl.BlockSpec((cblk, nk), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _scat_kernel,
         out_shape=jax.ShapeDtypeStruct((ntot, 9), jnp.float32),
         grid=grid,
         in_specs=[spec1, spec1, specH, specH, specH],
-        out_specs=pl.BlockSpec((_CBLK, 9), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((cblk, 9), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(phis[..., None], taus[..., None], Gr, Gi, M2)
-    out = out[..., :nchan, :].astype(orig_dtype)
-    return tuple(out[..., j] for j in range(9))
+    out = out[:nchan, :]
+    outs = [out[..., j] for j in range(9)]
+    if nharm > nk:
+        k_t = jnp.arange(nk, nharm, dtype=jnp.float32)
+        tail = _scat_terms_ref(phis[:nchan], taus[:nchan], Gr[:nchan, nk:],
+                               Gi[:nchan, nk:], M2[:nchan, nk:], k_t)
+        outs = [a + b for a, b in zip(outs, tail)]
+    return tuple(o.astype(orig_dtype) for o in outs)
 
 
 def scattering_moments(phis, taus, Gr, Gi, M2, interpret=None):
