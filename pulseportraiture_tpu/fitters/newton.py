@@ -40,6 +40,7 @@ class NewtonResult(NamedTuple):
     nfev: jnp.ndarray
     status: jnp.ndarray  # 0 grad, 1 fconv, 2 xconv, 3 maxiter
     success: jnp.ndarray
+    aux: object = None   # fgh aux pytree at x (has_aux=True only)
 
 
 def _tr_solve(g, H, radius):
@@ -99,25 +100,35 @@ class _State(NamedTuple):
     nfev: jnp.ndarray
     status: jnp.ndarray
     done: jnp.ndarray
+    aux: object = None
 
 
 def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
                           gtol: float = 1e-10, xtol: float = 1e-12,
                           ftol: float = 0.0, init_radius: float = 1.0,
-                          max_radius: float = 1e3):
+                          max_radius: float = 1e3, has_aux: bool = False):
     """Minimize f via exact trust-region Newton.
 
     fgh(x) -> (f, g, H) with analytic gradient/Hessian.  Non-fitted
     parameters must already be masked inside fgh (zero gradient row,
     identity Hessian row/col) so steps leave them unchanged.
+    has_aux: fgh returns (f, g, H, aux); the aux pytree of the accepted
+    point is carried through the loop and returned (e.g. the harmonic
+    moment reductions, so callers can re-derive per-channel Hessians /
+    covariances without another pass over the spectra).
     """
     x0 = jnp.asarray(x0)
-    f0, g0, H0 = fgh(x0)
+    if has_aux:
+        f0, g0, H0, aux0 = fgh(x0)
+    else:
+        f0, g0, H0 = fgh(x0)
+        aux0 = None
     dtype = f0.dtype
     st = _State(x=x0, f=f0, g=g0, H=H0,
                 radius=jnp.asarray(init_radius, dtype),
                 it=jnp.asarray(0), nfev=jnp.asarray(1),
-                status=jnp.asarray(3), done=jnp.asarray(False))
+                status=jnp.asarray(3), done=jnp.asarray(False),
+                aux=aux0)
 
     g0norm = jnp.sqrt(jnp.sum(g0 ** 2))
     # dtype-aware relative gradient stop (f32 objectives cannot reach the
@@ -130,7 +141,11 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
     def body(st):
         p, hit = _tr_solve(st.g, st.H, st.radius)
         x_new = st.x + p
-        f_new, g_new, H_new = fgh(x_new)
+        if has_aux:
+            f_new, g_new, H_new, aux_new = fgh(x_new)
+        else:
+            f_new, g_new, H_new = fgh(x_new)
+            aux_new = None
         pred = -(st.g @ p + 0.5 * p @ st.H @ p)
         actual = st.f - f_new
         rho = actual / jnp.where(pred > 0.0, pred, 1e-300)
@@ -147,6 +162,10 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         f = jnp.where(accept, f_new, st.f)
         g = jnp.where(accept, g_new, st.g)
         H = jnp.where(accept, H_new, st.H)
+        aux = None
+        if has_aux:
+            aux = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), aux_new, st.aux)
         gnorm = jnp.sqrt(jnp.sum(g ** 2))
         gconv = (gnorm < gtol) | (gnorm < gtol_rel * g0norm)
         xconv = accept & (pnorm < xtol)
@@ -158,9 +177,9 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
                            jnp.where(fconv, 1, jnp.where(xconv | stalled, 2,
                                                          st.status)))
         return _State(x=x, f=f, g=g, H=H, radius=radius, it=st.it + 1,
-                      nfev=st.nfev + 1, status=status, done=done)
+                      nfev=st.nfev + 1, status=status, done=done, aux=aux)
 
     st = jax.lax.while_loop(cond, body, st)
     return NewtonResult(x=st.x, fun=st.f, grad=st.g, hess=st.H,
                         niter=st.it, nfev=st.nfev, status=st.status,
-                        success=st.status < 3)
+                        success=st.status < 3, aux=st.aux)

@@ -39,18 +39,25 @@ from pulseportraiture_tpu.ops.transform import phase_shifts_deriv
 
 
 def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
-                 option=0, scattering=True):
+                 option=0, scattering=True, moments=None):
     """Return [nu_zero_DM, nu_zero_GM, nu_zero_tau].
 
     Closed-form branches stay on device; polynomial branches transfer the
     (5,5,nchan) per-channel Hessian to host (runs once per fit).
     scattering=False is the same static specialization as in stats._moments
     (skips the 9-reduction scattering pass when tau is identically zero).
+    moments: optional precomputed reductions dict at (params, setup) — the
+    optimizer's final evaluation — avoiding another pass over the spectra.
     """
     ff = tuple(int(bool(f)) for f in fit_flags)
-    Hn = stats.chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                                     log10_tau=log10_tau,
-                                     scattering=scattering)
+    if moments is not None:
+        Hn = stats.hess_per_channel_from_moments(
+            moments, setup, fit_flags=(1, 1, 1, 1, 1))
+    else:
+        Hn = stats.chi2_hess_per_channel(params, setup,
+                                         fit_flags=(1, 1, 1, 1, 1),
+                                         log10_tau=log10_tau,
+                                         scattering=scattering)
     freqs = setup.freqs
     taus, dtau, _ = stats._taus_and_derivs(params, setup, log10_tau)
     nu_DM, nu_GM, nu_tau = setup.nu_DM, setup.nu_GM, setup.nu_tau

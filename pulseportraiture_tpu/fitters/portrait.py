@@ -94,10 +94,11 @@ def _optimize(init_params, setup, fit_flags, log10_tau, max_iter=100,
     def fgh(x):
         return stats.chi2_value_grad_hess(x, setup, fit_flags=fit_flags,
                                           log10_tau=log10_tau,
-                                          scattering=scattering)
+                                          scattering=scattering,
+                                          return_moments=True)
 
     return newton.trust_region_minimize(fgh, init_params, max_iter=max_iter,
-                                        gtol=gtol, xtol=xtol)
+                                        gtol=gtol, xtol=xtol, has_aux=True)
 
 
 def _rereference(params, setup, nu_out_DM, nu_out_GM, nu_out_tau,
@@ -126,11 +127,24 @@ def _rereference(params, setup, nu_out_DM, nu_out_GM, nu_out_tau,
 @functools.partial(jax.jit, static_argnames=("fit_flags", "log10_tau",
                                               "scattering"))
 def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
-              scattering=True):
-    """Covariance, scales, SNR, chi2 at the output reference."""
-    cov, perrs, scales, scale_errs, S = stats.covariance_with_scales(
-        params_out, setup_out, fit_flags=fit_flags, log10_tau=log10_tau,
-        scattering=scattering)
+              scattering=True, moments=None):
+    """Covariance, scales, SNR, chi2 at the output reference.
+
+    moments: the optimizer's final reductions dict; when given, the
+    covariance is derived from it (rebased to the output references)
+    without another pass over Gr/Gi — valid because re-referencing
+    preserves the physical per-channel phases/taus (stats.rebase_moments).
+    """
+    if moments is not None:
+        m_out = stats.rebase_moments(moments, params_out, setup_out,
+                                     log10_tau, scattering=scattering)
+        cov, perrs, scales, scale_errs, S = \
+            stats.covariance_with_scales_from_moments(
+                m_out, setup_out, fit_flags=fit_flags)
+    else:
+        cov, perrs, scales, scale_errs, S = stats.covariance_with_scales(
+            params_out, setup_out, fit_flags=fit_flags, log10_tau=log10_tau,
+            scattering=scattering)
     channel_snrs = scales * jnp.sqrt(jnp.clip(S, 0.0))
     snr = jnp.sqrt(jnp.sum(channel_snrs ** 2))
     chi2 = setup_out.Sd + fun
@@ -183,7 +197,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     if not all(n is not None for n in nu_outs):
         nz_DM, nz_GM, nz_tau = nu_zeros.get_nu_zeros(
             res.x, setup, fit_flags=fit_flags, log10_tau=log10_tau,
-            option=option, scattering=scattering)
+            option=option, scattering=scattering, moments=res.aux)
         if nu_out_DM is None:
             nu_out_DM = nz_DM
         if nu_out_GM is None:
@@ -205,7 +219,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
                                nu_tau=nu_out_tau)
     cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
         _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun,
-                  scattering=scattering)
+                  scattering=scattering, moments=res.aux)
 
     return PortraitFitResult(
         params=params_out, param_errs=perrs, scales=scales,
@@ -239,20 +253,24 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
     duration = time.time() - start
 
     nz = nu_zeros.get_nu_zeros(res.x, setup, fit_flags=fit_flags,
-                               log10_tau=False, scattering=False)
+                               log10_tau=False, scattering=False,
+                               moments=res.aux)
     nu_zero = nz[0]
     nu_out = nu_zero if nu_out is None else jnp.asarray(nu_out)
     params_out = _rereference(res.x, setup, nu_out, jnp.inf, jnp.inf, False)
     setup_out = setup._replace(nu_DM=nu_out)
-    _, g, H = stats.chi2_value_grad_hess(params_out, setup_out,
-                                         fit_flags=fit_flags,
-                                         log10_tau=False, scattering=False)
-    H2 = H[:2, :2]
+    # the Hessian at the re-referenced point from the optimizer's final
+    # reductions (physical phases unchanged; only phis_d changes)
+    m_out = stats.rebase_moments(res.aux, params_out, setup_out, False,
+                                 scattering=False)
+    Hn = stats.hess_per_channel_from_moments(m_out, setup_out,
+                                             fit_flags=fit_flags)
+    H2 = Hn.sum(axis=-1)[:2, :2]
     cov2 = jnp.linalg.inv(0.5 * H2)
     param_errs = jnp.sqrt(jnp.clip(jnp.diag(cov2), 0.0))
     # scales evaluated at the fit reference (reference pplib.py:2195)
-    scales, S = stats.get_scales(res.x, setup, log10_tau=False,
-                                 scattering=False)
+    si = stats._masked_inv(res.aux["S"], setup.w)
+    scales, S = res.aux["C"] * si, res.aux["S"]
     scale_errs = jnp.where(S > 0.0, jnp.where(S > 0.0, S, 1.0) ** -0.5, 0.0)
     channel_snrs_sq = scales ** 2 * S
     snr = jnp.sqrt(jnp.sum(channel_snrs_sq))
@@ -323,10 +341,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,
                                                  log10_tau=log10_tau,
-                                                 scattering=scattering),
-            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14)
+                                                 scattering=scattering,
+                                                 return_moments=True),
+            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14, has_aux=True)
         nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau,
-                                    scattering=scattering)
+                                    scattering=scattering, moments=res.aux)
         nu_out_DM, nu_out_GM, nu_out_tau = nzs
         if fit_flags[1]:
             nu_out_GM = nu_out_DM
@@ -337,7 +356,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
                                    nu_tau=nu_out_tau)
         outs = _finalize(params_out, setup_out, fit_flags, log10_tau,
-                         res.fun, scattering=scattering)
+                         res.fun, scattering=scattering, moments=res.aux)
         cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
             outs
         return PortraitFitResult(
@@ -357,7 +376,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
 
 
 def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau,
-                          scattering=True):
+                          scattering=True, moments=None):
     """In-jit zero-covariance frequencies for closed-form flag combos.
 
     Falls back to the fit references for polynomial (GM) branches.
@@ -367,6 +386,6 @@ def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau,
               (1, 1, 0, 1, 0), (1, 1, 0, 1, 1), (1, 1, 1, 1, 1)):
         nz = nu_zeros.get_nu_zeros(params, setup, fit_flags=ff,
                                    log10_tau=log10_tau,
-                                   scattering=scattering)
+                                   scattering=scattering, moments=moments)
         return nz[0], nz[1], nz[2]
     return setup.nu_DM, setup.nu_GM, setup.nu_tau

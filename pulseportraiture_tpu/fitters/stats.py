@@ -386,12 +386,17 @@ def chi2_prime(params, setup, log10_tau=True, scattering=True):
 
 
 def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                         log10_tau=True, scattering=True):
+                         log10_tau=True, scattering=True,
+                         return_moments=False):
     """(chi2', gradient(5,), Hessian(5,5)) in one fused evaluation.
 
     Gradient: reference pptoaslib.py:544-574; Hessian (amplitude-profiled):
     pptoaslib.py:576-643.  Rows/cols of non-fitted parameters are masked to
     zero (gradient) / identity (Hessian) so a Newton step leaves them fixed.
+    return_moments=True appends the moments dict (for epilogue reuse: the
+    harmonic reductions depend only on the *physical* per-channel phases
+    and taus, which re-referencing preserves, so the zero-covariance
+    solver and output covariance need no further pass over Gr/Gi).
     """
     m = _moments(params, setup, log10_tau, order=2,
                  scattering=scattering)
@@ -416,17 +421,14 @@ def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
     H = jnp.sum(Hn, axis=-1)
     fo = flags[:, None] * flags[None, :]
     H = H * fo + jnp.diag(1.0 - flags)
+    if return_moments:
+        return f, g, H, m
     return f, g, H
 
 
-def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
-                          log10_tau=True, scattering=True):
-    """Per-channel amplitude-profiled Hessian (5, 5, nchan).
-
-    Used by the zero-covariance frequency solver (pptoaslib.py:733-906).
-    """
-    m = _moments(params, setup, log10_tau, order=2,
-                 scattering=scattering)
+def hess_per_channel_from_moments(m, setup, fit_flags=(1, 1, 1, 1, 1)):
+    """Per-channel amplitude-profiled Hessian (5, 5, nchan) from a moments
+    dict (no pass over the spectra)."""
     C, S = m["C"], m["S"]
     si = _masked_inv(S, setup.w)
     r = C * si
@@ -439,6 +441,40 @@ def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
                  + r * r * dSi_dSj * si - r * dC_dS * si)
     flags = jnp.asarray(fit_flags, dtype=C.dtype)
     return Hn * (flags[:, None] * flags[None, :])[..., None]
+
+
+def chi2_hess_per_channel(params, setup, fit_flags=(1, 1, 1, 1, 1),
+                          log10_tau=True, scattering=True):
+    """Per-channel amplitude-profiled Hessian (5, 5, nchan).
+
+    Used by the zero-covariance frequency solver (pptoaslib.py:733-906).
+    """
+    m = _moments(params, setup, log10_tau, order=2,
+                 scattering=scattering)
+    return hess_per_channel_from_moments(m, setup, fit_flags=fit_flags)
+
+
+def rebase_moments(m, params_out, setup_out, log10_tau, scattering=True):
+    """Re-parameterize a moments dict at the output references.
+
+    Re-referencing transports (phi, tau) so that every *physical*
+    per-channel phase and tau is unchanged (pptoaslib.py:1052-1065);
+    hence all harmonic reductions in m remain valid and only the cheap
+    chain-rule factors (phis_d, dtau, d2tau) change with the new
+    nu_DM/nu_GM/nu_tau."""
+    out = dict(m)
+    out["phis_d"] = phase_shifts_deriv(setup_out.freqs, setup_out.nu_DM,
+                                       setup_out.nu_GM, setup_out.P)
+    if scattering:
+        taus, dtau, d2tau = _taus_and_derivs(params_out, setup_out,
+                                             log10_tau)
+        out.update(taus=taus, dtau=dtau, d2tau=d2tau)
+    return out
+
+
+def covariance_with_scales_from_moments(m, setup, fit_flags=(1, 1, 1, 1, 1)):
+    """covariance_with_scales from a precomputed moments dict."""
+    return _covariance_core(m, setup, fit_flags)
 
 
 def get_scales(params, setup, log10_tau=True, scattering=True):
@@ -464,6 +500,10 @@ def covariance_with_scales(params, setup, fit_flags=(1, 1, 1, 1, 1),
     """
     m = _moments(params, setup, log10_tau, order=2,
                  scattering=scattering)
+    return _covariance_core(m, setup, fit_flags)
+
+
+def _covariance_core(m, setup, fit_flags):
     C, S = m["C"], m["S"]
     si = _masked_inv(S, setup.w)
     r = C * si
