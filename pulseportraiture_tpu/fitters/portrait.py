@@ -157,12 +157,20 @@ def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
     return cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2
 
 
+def _auto_fft_matmul(fft_matmul):
+    """None -> DFT-as-matmul on TPU (XLA's FFT lowering there compiles
+    for minutes at nbin >= 1024; see ops.fourier), jnp.fft elsewhere."""
+    if fft_matmul is None:
+        return jax.default_backend() == "tpu"
+    return bool(fft_matmul)
+
+
 def fit_portrait_full(data_port, model_port, init_params, P, freqs,
                       nu_fits=(None, None, None), nu_outs=(None, None, None),
                       errs=None, fit_flags=(1, 1, 1, 1, 1), bounds=None,
                       log10_tau=True, option=0, sub_id=None,
                       method="trust-ncg", is_toa=True, quiet=True,
-                      scattering=None):
+                      scattering=None, fft_matmul=None, dft_precision=None):
     """Fit phi, DM, GM, tau, alpha between data and model portraits.
 
     Mirrors reference pptoaslib.py:928-1096.  `method` and `bounds` are
@@ -173,6 +181,7 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
     model_port = jnp.asarray(model_port)
     freqs = jnp.asarray(freqs)
     fit_flags = tuple(int(bool(f)) for f in fit_flags)
+    fft_matmul = _auto_fft_matmul(fft_matmul)
     # static no-scattering specialization: only safe when the caller
     # guarantees tau is identically zero (tau/alpha unfitted forces it on)
     if fit_flags[3] or fit_flags[4]:
@@ -185,7 +194,9 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
         jnp.asarray(nf) if nf is not None else freqs.mean() for nf in nu_fits]
 
     setup = stats.make_setup(data_port, model_port, errs, P, freqs,
-                             nu_fit_DM, nu_fit_GM, nu_fit_tau)
+                             nu_fit_DM, nu_fit_GM, nu_fit_tau,
+                             fft_matmul=fft_matmul,
+                             dft_precision=dft_precision)
     start = time.time()
     res = _optimize(jnp.asarray(init_params, dtype=data_port.dtype), setup,
                     fit_flags, log10_tau, scattering=scattering)
@@ -230,7 +241,8 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
 
 
 def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
-                 errs=None, bounds=None, id=None, quiet=True):
+                 errs=None, bounds=None, id=None, quiet=True,
+                 fft_matmul=None, dft_precision=None):
     """Fit a phase offset and DM between data and model portraits.
 
     2-parameter specialization; mirrors reference pplib.py:2102-2204,
@@ -246,7 +258,8 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
     init5 = jnp.asarray([init_params[0], init_params[1], 0.0, 0.0, 0.0],
                         dtype=data.dtype)
     setup = stats.make_setup(data, model, errs, P, freqs, nu_fit, jnp.inf,
-                             nu_fit)
+                             nu_fit, fft_matmul=_auto_fft_matmul(fft_matmul),
+                             dft_precision=dft_precision)
     start = time.time()
     res = _optimize(init5, setup, fit_flags, False, scattering=False)
     jax.block_until_ready(res.x)
@@ -298,7 +311,7 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
-                            log10_tau=True, max_iter=100, fft_matmul=False,
+                            log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
@@ -318,6 +331,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         scattering = True
     elif scattering is None:
         scattering = True
+    fft_matmul = _auto_fft_matmul(fft_matmul)
     B = data_ports.shape[0]
     if freqs.ndim == 1:
         freqs = jnp.broadcast_to(freqs, (B,) + freqs.shape)
