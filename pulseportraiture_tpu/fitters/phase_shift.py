@@ -36,52 +36,62 @@ class PhaseShiftResult(NamedTuple):
 
 
 def _cross_spectrum(data, model, noise=None, f0_fact=F0_FACT):
+    """Split-real cross spectrum (cr, ci), data power d0, model power p0,
+    and Fourier noise err — no complex arrays (TPU-safe)."""
+    from pulseportraiture_tpu.ops.fourier import rfft_ri
+
     data = jnp.asarray(data)
     model = jnp.asarray(model)
     nbin = data.shape[-1]
-    dFFT = jnp.fft.rfft(data, axis=-1)
-    mFFT = jnp.fft.rfft(model, axis=-1)
+    dr, di = rfft_ri(data)
+    mr, mi = rfft_ri(model)
     if not f0_fact:
-        dFFT = dFFT.at[..., 0].set(0.0)
-        mFFT = mFFT.at[..., 0].set(0.0)
+        dr = dr.at[..., 0].set(0.0)
+        di = di.at[..., 0].set(0.0)
+        mr = mr.at[..., 0].set(0.0)
+        mi = mi.at[..., 0].set(0.0)
     if noise is None:
         err = get_noise_PS(data, chans=(data.ndim > 1)) * jnp.sqrt(nbin / 2.0)
     else:
         err = jnp.asarray(noise) * jnp.sqrt(nbin / 2.0)
-    return dFFT, mFFT, err
+    # c = dFFT * conj(mFFT)
+    cr = dr * mr + di * mi
+    ci = di * mr - dr * mi
+    d0 = jnp.sum(dr * dr + di * di, axis=-1)
+    p0 = jnp.sum(mr * mr + mi * mi, axis=-1)
+    return cr, ci, d0, p0, err
 
 
 @functools.partial(jax.jit, static_argnames=("Ns", "newton_iter",
                                              "nbin"))
-def _fit_phase_shift_core(dFFT, mFFT, err, lo, hi, Ns=100, newton_iter=6,
-                          nbin=None):
-    """Single-profile core on Fourier-domain inputs."""
-    nharm = dFFT.shape[-1]
+def _fit_phase_shift_core(cr, ci, d0, p0, err, lo, hi, Ns=100,
+                          newton_iter=6, nbin=None):
+    """Single-profile core on split-real Fourier-domain inputs."""
+    nharm = cr.shape[-1]
     k = jnp.arange(nharm, dtype=err.dtype)
-    c = dFFT * jnp.conj(mFFT)  # cross spectrum
     w2 = err ** -2.0
-    d = jnp.sum(jnp.abs(dFFT) ** 2) * w2
-    p = jnp.sum(jnp.abs(mFFT) ** 2) * w2
+    d = d0 * w2
+    p = p0 * w2
 
     def fun(phase):
         ang = TWO_PI * phase * k
-        return -(jnp.sum(c.real * jnp.cos(ang) - c.imag * jnp.sin(ang))) * w2
+        return -(jnp.sum(cr * jnp.cos(ang) - ci * jnp.sin(ang))) * w2
 
     def dfun(phase):
         ang = TWO_PI * phase * k
         # Re(2 pi i k c e^{i ang}) = -2 pi k Im(c e^{i ang})
         return (TWO_PI * jnp.sum(
-            k * (c.imag * jnp.cos(ang) + c.real * jnp.sin(ang)))) * w2
+            k * (ci * jnp.cos(ang) + cr * jnp.sin(ang)))) * w2
 
     def d2fun(phase):
         ang = TWO_PI * phase * k
         return (TWO_PI ** 2 * jnp.sum(
-            k * k * (c.real * jnp.cos(ang) - c.imag * jnp.sin(ang)))) * w2
+            k * k * (cr * jnp.cos(ang) - ci * jnp.sin(ang)))) * w2
 
     # brute grid (matches opt.brute's inclusive linspace, pplib.py:2085)
     grid = jnp.linspace(lo, hi, Ns)
     ang = TWO_PI * grid[:, None] * k
-    vals = -(jnp.cos(ang) @ c.real - jnp.sin(ang) @ c.imag) * w2
+    vals = -(jnp.cos(ang) @ cr - jnp.sin(ang) @ ci) * w2
     phase = grid[jnp.argmin(vals)]
 
     # Newton polish with analytic derivatives (guarded: step only if convex)
@@ -115,16 +125,16 @@ def fit_phase_shift(data, model, noise=None, bounds=(-0.5, 0.5), Ns=100):
     rotation functions rotate to earlier phases given a positive phase.
     Reference: pplib.py:2054-2100.
     """
-    dFFT, mFFT, err = _cross_spectrum(data, model, noise)
-    return _fit_phase_shift_core(dFFT, mFFT, err, bounds[0], bounds[1],
+    cr, ci, d0, p0, err = _cross_spectrum(data, model, noise)
+    return _fit_phase_shift_core(cr, ci, d0, p0, err, bounds[0], bounds[1],
                                  Ns=Ns, nbin=int(data.shape[-1]))
 
 
 def fit_phase_shift_batch(data, model, noise=None, bounds=(-0.5, 0.5),
                           Ns=100):
     """vmapped fit_phase_shift over leading axis of (B, nbin) inputs."""
-    dFFT, mFFT, err = _cross_spectrum(data, model, noise)
+    cr, ci, d0, p0, err = _cross_spectrum(data, model, noise)
     nbin = int(data.shape[-1])
-    core = jax.vmap(lambda D, M, e: _fit_phase_shift_core(
-        D, M, e, bounds[0], bounds[1], Ns=Ns, nbin=nbin))
-    return core(dFFT, mFFT, err)
+    core = jax.vmap(lambda CR, CI, D, PP, e: _fit_phase_shift_core(
+        CR, CI, D, PP, e, bounds[0], bounds[1], Ns=Ns, nbin=nbin))
+    return core(cr, ci, d0, p0, err)

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pulseportraiture_tpu.config import SCATTERING_ALPHA, WID_MAX
-from pulseportraiture_tpu.ops.scattering import (scattering_portrait_FT,
-                                                 scattering_profile_FT,
+from pulseportraiture_tpu.ops.scattering import (scattering_portrait_FT_ri,
+                                                 scattering_profile_FT_ri,
                                                  scattering_times)
 from pulseportraiture_tpu.utils import DataBunch
 
@@ -102,8 +102,12 @@ def gen_gaussian_profile(params, nbin):
     amps = params[4::3][:ngauss]
     model = params[0] + _gaussian_profiles_vec(nbin, locs, wids, amps)
     tau_bin = params[1]
-    sp_FT = scattering_profile_FT(tau_bin / nbin, nbin)
-    scattered = jnp.fft.irfft(sp_FT * jnp.fft.rfft(model), n=nbin)
+    # split-real scattering convolution (no complex arrays: TPU-safe)
+    from pulseportraiture_tpu.ops.fourier import irfft_ri, rfft_ri
+    Br, Bi = scattering_profile_FT_ri(tau_bin / nbin, nbin,
+                                      dtype=model.dtype)
+    re, im = rfft_ri(model[None, :])
+    scattered = irfft_ri(re * Br - im * Bi, re * Bi + im * Br, n=nbin)[0]
     return jnp.where(tau_bin != 0.0, scattered, model)
 
 
@@ -134,10 +138,12 @@ def gen_gaussian_portrait(model_code, params, scattering_index, phases,
     amps = evolve_parameter(freqs, nu_ref, amps0, m_amps, model_code[2])
     gport = dc + _gaussian_profiles_vec(nbin, locs, wids, amps)
     # portrait-wide scattering (tau in [bin] at nu_ref, pplib.py:915-922)
+    # split-real convolution (no complex arrays: TPU-safe)
+    from pulseportraiture_tpu.ops.fourier import irfft_ri, rfft_ri
     taus = scattering_times(tau / nbin, scattering_index, freqs, nu_ref)
-    sp_FT = scattering_portrait_FT(taus, nbin)
-    scattered = jnp.fft.irfft(sp_FT * jnp.fft.rfft(gport, axis=-1), n=nbin,
-                              axis=-1)
+    Br, Bi = scattering_portrait_FT_ri(taus.astype(gport.dtype), nbin)
+    re, im = rfft_ri(gport)
+    scattered = irfft_ri(re * Br - im * Bi, re * Bi + im * Br, n=nbin)
     gport = jnp.where(tau != 0.0, scattered, gport)
     if njoin:
         from pulseportraiture_tpu.ops.rotate import rotate_data

@@ -292,22 +292,30 @@ def gen_spline_portrait(mean_prof, freqs, eigvec, tck, nbin=None):
 
 
 def _fourier_resample(port, nbin):
-    """scipy.signal.resample equivalent (Fourier zero-pad/truncate)."""
+    """scipy.signal.resample equivalent (Fourier zero-pad/truncate).
+
+    Split-real transforms (TPU-safe; no complex arrays)."""
+    from pulseportraiture_tpu.ops.fourier import irfft_ri, rfft_ri
+
     port = jnp.asarray(port)
     old = port.shape[-1]
-    F = jnp.fft.rfft(port, axis=-1)
+    Fr, Fi = rfft_ri(port)
     nharm_new = nbin // 2 + 1
-    if nharm_new <= F.shape[-1]:
-        Fn = F[..., :nharm_new]
+    if nharm_new <= Fr.shape[-1]:
+        Fnr = Fr[..., :nharm_new]
+        Fni = Fi[..., :nharm_new]
         # scipy folds the conjugate half onto the new Nyquist bin when
         # downsampling to an even length: Y[N/2] = 2 Re(X[N/2])
-        if nbin % 2 == 0 and nharm_new < F.shape[-1]:
-            Fn = Fn.at[..., -1].set(2.0 * Fn[..., -1].real)
+        if nbin % 2 == 0 and nharm_new < Fr.shape[-1]:
+            Fnr = Fnr.at[..., -1].set(2.0 * Fnr[..., -1])
+            Fni = Fni.at[..., -1].set(0.0)
     else:
-        pad = nharm_new - F.shape[-1]
-        Fn = jnp.concatenate([F, jnp.zeros(port.shape[:-1] + (pad,),
-                                           dtype=F.dtype)], axis=-1)
+        pad = nharm_new - Fr.shape[-1]
+        zeros = jnp.zeros(port.shape[:-1] + (pad,), dtype=Fr.dtype)
+        Fnr = jnp.concatenate([Fr, zeros], axis=-1)
+        Fni = jnp.concatenate([Fi, zeros], axis=-1)
         if old % 2 == 0:
             # split the old Nyquist bin when upsampling from even length
-            Fn = Fn.at[..., old // 2].set(Fn[..., old // 2] * 0.5)
-    return jnp.fft.irfft(Fn, n=nbin, axis=-1) * (nbin / old)
+            Fnr = Fnr.at[..., old // 2].set(Fnr[..., old // 2] * 0.5)
+            Fni = Fni.at[..., old // 2].set(Fni[..., old // 2] * 0.5)
+    return irfft_ri(Fnr, Fni, n=nbin) * (nbin / old)

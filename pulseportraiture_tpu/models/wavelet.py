@@ -165,7 +165,9 @@ def _snr_objective(smooth_prof, prof, rchi2_tol):
 
     Reference: pplib.py:1737-1761.
     """
-    signal = jnp.sum(jnp.abs(jnp.fft.rfft(smooth_prof)[1:]) ** 2)
+    from pulseportraiture_tpu.ops.fourier import rfft_ri
+    sr, si = rfft_ri(smooth_prof[None, :])
+    signal = jnp.sum(sr[0, 1:] ** 2 + si[0, 1:] ** 2)
     noise = get_noise_PS(smooth_prof) * jnp.sqrt(smooth_prof.shape[-1] / 2.0)
     snr = jnp.where(noise > 0.0, signal / jnp.where(noise > 0.0, noise, 1.0),
                     jnp.where(signal > 0.0, jnp.inf, 0.0))

@@ -96,6 +96,76 @@ def _dft_precision(precision=None):
             "default": jax.lax.Precision.DEFAULT}[env]
 
 
+def use_matmul_fft():
+    """Trace-time backend dispatch: the TPU backend implements neither
+    complex arithmetic nor the FFT custom-call (UNIMPLEMENTED), and its
+    FFT lowering used to compile for minutes anyway — every transform
+    there runs as split-real MXU DFT matmuls."""
+    return jax.default_backend() == "tpu"
+
+
+def complex_device():
+    """Context manager placing eager complex-arithmetic ops on a device
+    that implements them (CPU when the default backend is the complex-
+    free TPU).  For host-prep APIs whose *output* is a complex spectrum
+    (analytic FTs, instrumental responses); the device hot paths use the
+    split-real forms instead."""
+    import contextlib
+    if use_matmul_fft():
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
+
+
+def rfft_ri(x, precision=None):
+    """np.fft.rfft along the last axis as a split (real, imag) pair,
+    backend-dispatched (matmul DFT on TPU, jnp.fft elsewhere)."""
+    if use_matmul_fft():
+        return rfft_matmul_ri(x, precision=precision)
+    X = jnp.fft.rfft(x, axis=-1)
+    return X.real, X.imag
+
+
+def irfft_ri(re, im, n=None, precision=None):
+    """np.fft.irfft of a split-real spectrum, backend-dispatched."""
+    if use_matmul_fft():
+        return irfft_matmul_ri(re, im, n=n, precision=precision)
+    return jnp.fft.irfft(re + 1j * im, n=n, axis=-1)
+
+
+def irfft_matmul_ri(re, im, n=None, axis=-1, precision=None):
+    """irfft via MXU matmuls from a split (real, imag) spectrum."""
+    assert axis in (-1, re.ndim - 1)
+    nharm = re.shape[-1]
+    nbin = n if n is not None else 2 * (nharm - 1)
+    prec = _dft_precision(precision)
+    cos_m, sin_m = _dft_mats(nbin, str(re.dtype))  # (nbin, nharm)
+    w = jnp.ones(nharm, dtype=re.dtype).at[0].set(0.5)
+    if nbin % 2 == 0:
+        w = w.at[-1].set(0.5)
+    x = jnp.matmul(re * w, cos_m.T, preferred_element_type=re.dtype,
+                   precision=prec) - \
+        jnp.matmul(im * w, sin_m.T, preferred_element_type=re.dtype,
+                   precision=prec)
+    return x * (2.0 / nbin)
+
+
+def rotate_ri(x, phis, precision=None):
+    """irfft(rfft(x) * e^{+2 pi i k phis}) without complex arrays.
+
+    x: (..., nbin) real; phis broadcastable to x.shape[:-1] (rotations).
+    The split-real core of every rotation/dedispersion kernel — the only
+    form that runs on the complex-free TPU backend.
+    """
+    x = jnp.asarray(x)
+    nbin = x.shape[-1]
+    re, im = rfft_ri(x, precision=precision)
+    k = jnp.arange(re.shape[-1], dtype=re.dtype)
+    ang = 2.0 * jnp.pi * jnp.asarray(phis, re.dtype)[..., None] * k
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return irfft_ri(re * c - im * s, re * s + im * c, n=nbin,
+                    precision=precision)
+
+
 def rfft_matmul_ri(x, axis=-1, precision=None):
     """rfft via MXU matmuls, returned as a (real, imag) pair.
 

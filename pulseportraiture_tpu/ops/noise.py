@@ -23,18 +23,46 @@ def get_noise_PS(data, frac=4, chans=False):
     data: (..., nbin) or (nchan, nbin) with chans=True; returns per-channel
     noise along the leading axes when chans=True, else a scalar computed on
     the raveled data.  Reference: pplib.py:2227-2253.
+
+    Concrete (non-traced) inputs are estimated on the host in float64
+    (numpy rfft): this is a load-time estimator, and the raveled-data
+    transform length (nsub*nchan*nbin) is far beyond any DFT-matmul
+    matrix, while the TPU backend implements no FFT at all.  Traced
+    inputs use the backend-dispatched split-real transform.
     """
+    import jax
+
+    if not isinstance(data, jax.core.Tracer):
+        d = np.asarray(data, dtype=np.float64)
+        if chans:
+            n = d.shape[-1]
+            FFT = np.fft.rfft(d, axis=-1)
+            pows = (FFT.real ** 2 + FFT.imag ** 2) / n
+            kc = int((1 - 1.0 / frac) * pows.shape[-1])
+            out = np.sqrt(np.mean(pows[..., kc:], axis=-1))
+        else:
+            raveld = d.ravel()
+            n = raveld.shape[0]
+            FFT = np.fft.rfft(raveld)
+            pows = (FFT.real ** 2 + FFT.imag ** 2) / n
+            kc = int((1 - 1.0 / frac) * pows.shape[0])
+            out = np.sqrt(np.mean(pows[kc:]))
+        dt = getattr(data, "dtype", None)
+        return jnp.asarray(out, dtype=dt if dt is not None and
+                           jnp.issubdtype(dt, jnp.floating) else None)
+
+    from pulseportraiture_tpu.ops.fourier import rfft_ri
     data = jnp.asarray(data)
     if chans:
         n = data.shape[-1]
-        FFT = jnp.fft.rfft(data, axis=-1)
-        pows = (FFT.real ** 2 + FFT.imag ** 2) / n
+        re, im = rfft_ri(data)
+        pows = (re ** 2 + im ** 2) / n
         kc = int((1 - 1.0 / frac) * pows.shape[-1])
         return jnp.sqrt(jnp.mean(pows[..., kc:], axis=-1))
     raveld = data.ravel()
     n = raveld.shape[0]
-    FFT = jnp.fft.rfft(raveld)
-    pows = (FFT.real ** 2 + FFT.imag ** 2) / n
+    re, im = rfft_ri(raveld[None, :])
+    pows = (re[0] ** 2 + im[0] ** 2) / n
     kc = int((1 - 1.0 / frac) * pows.shape[0])
     return jnp.sqrt(jnp.mean(pows[kc:]))
 

@@ -6,9 +6,12 @@ freqs < nu_ref.  When used to dedisperse, rotate_portrait is virtually
 identical to PSRCHIVE's arch.dedisperse() (pplib.py:2436-2437).
 
 Unlike the reference's per-channel Python loops (pplib.py:2450-2459), the
-phase ramp is built as a single broadcasted complex-exponential array so the
-whole op is three fused XLA kernels (rfft, multiply, irfft) and batches/vmaps
-trivially over any leading dimensions.
+phase ramp is one broadcasted trig array and the whole op batches/vmaps
+trivially over any leading dimensions.  All transforms go through the
+split-real core ops.fourier.rotate_ri: no complex arrays exist on the
+device path, which is required on the TPU backend (complex arithmetic and
+the FFT custom-call are UNIMPLEMENTED there) and faster everywhere else
+at these sizes.
 """
 
 from __future__ import annotations
@@ -16,15 +19,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from pulseportraiture_tpu.config import DCONST
-from pulseportraiture_tpu.ops.transform import phase_shifts, phasor, _inv2
+from pulseportraiture_tpu.ops.fourier import rotate_ri
+from pulseportraiture_tpu.ops.transform import phase_shifts, _inv2
 
 
 def rotate_profile(profile, phase=0.0):
     """Rotate a 1-D profile by phase [rot].  Reference: pplib.py:2548-2559."""
-    pFFT = jnp.fft.rfft(profile)
-    nharm = pFFT.shape[-1]
-    return jnp.fft.irfft(pFFT * phasor(jnp.asarray(phase), nharm),
-                         n=profile.shape[-1])
+    profile = jnp.asarray(profile)
+    return rotate_ri(profile, jnp.asarray(phase, dtype=profile.dtype))
 
 
 def rotate_portrait(port, phase=0.0, DM=None, P=None, freqs=None,
@@ -34,20 +36,14 @@ def rotate_portrait(port, phase=0.0, DM=None, P=None, freqs=None,
     Reference: pplib.py:2428-2460.
     """
     port = jnp.asarray(port)
-    nbin = port.shape[-1]
-    pFFT = jnp.fft.rfft(port, axis=-1)
-    nharm = pFFT.shape[-1]
     if DM is None or freqs is None:
         phis = jnp.asarray(phase, dtype=port.dtype)
-        # scalar phase: broadcast over channels
-        ramp = phasor(phis, nharm)
-        if ramp.ndim == 1:
-            ramp = ramp[None, :]
+        phis = jnp.broadcast_to(phis, port.shape[:-1])
     else:
         D = dconst * DM / P
         phis = phase + D * (_inv2(jnp.asarray(freqs)) - _inv2(nu_ref))
-        ramp = phasor(phis.astype(port.dtype), nharm)
-    return jnp.fft.irfft(pFFT * ramp, n=nbin, axis=-1)
+        phis = phis.astype(port.dtype)
+    return rotate_ri(port, phis)
 
 
 def rotate_portrait_full(port, phi, DM, GM, freqs, nu_DM=jnp.inf,
@@ -57,13 +53,9 @@ def rotate_portrait_full(port, phi, DM, GM, freqs, nu_DM=jnp.inf,
     Reference: pptoaslib.py:52-81.
     """
     port = jnp.asarray(port)
-    nbin = port.shape[-1]
-    pFFT = jnp.fft.rfft(port, axis=-1)
-    nharm = pFFT.shape[-1]
     phis = phase_shifts(phi, DM, GM, jnp.asarray(freqs), nu_DM, nu_GM, P,
                         mod=False, dconst=dconst)
-    return jnp.fft.irfft(pFFT * phasor(phis.astype(port.dtype), nharm),
-                         n=nbin, axis=-1)
+    return rotate_ri(port, phis.astype(port.dtype))
 
 
 def rotate_data(data, phase=0.0, DM=0.0, Ps=None, freqs=None, nu_ref=jnp.inf,
@@ -76,21 +68,18 @@ def rotate_data(data, phase=0.0, DM=0.0, Ps=None, freqs=None, nu_ref=jnp.inf,
     """
     data = jnp.asarray(data)
     ndim = data.ndim
-    nbin = data.shape[-1]
-    dFFT = jnp.fft.rfft(data, axis=-1)
-    nharm = dFFT.shape[-1]
-
     # numeric zero test: int 0 / numpy scalars must take the pure-phase
     # path too (a traced DM never is a python scalar, so this stays
     # jit-safe)
     dm_zero = not hasattr(DM, "dtype") and not isinstance(DM, bool) and \
         isinstance(DM, (int, float)) and float(DM) == 0.0
     if freqs is None or (dm_zero and Ps is None):
-        ramp = phasor(jnp.asarray(phase, dtype=data.dtype), nharm)
-        return jnp.fft.irfft(dFFT * ramp, n=nbin, axis=-1)
+        phis = jnp.broadcast_to(jnp.asarray(phase, dtype=data.dtype),
+                                data.shape[:-1])
+        return rotate_ri(data, phis)
 
     # Promote to (nsub, npol, nchan, nbin) semantics via broadcasting.
-    x = dFFT
+    x = data
     while x.ndim < 4:
         x = x[None]
     nsub, npol, nchan = x.shape[0], x.shape[1], x.shape[2]
@@ -103,8 +92,8 @@ def rotate_data(data, phase=0.0, DM=0.0, Ps=None, freqs=None, nu_ref=jnp.inf,
     D = dconst * DM / Ps_arr  # (nsub,)
     fterm = _inv2(freqs_arr) - _inv2(nu_ref)  # (nsub, nchan)
     phis = phase + D[:, None] * fterm  # (nsub, nchan)
-    ramp = phasor(phis, nharm)[:, None, :, :]  # (nsub, 1, nchan, nharm)
-    out = jnp.fft.irfft(x * ramp, n=nbin, axis=-1)
+    phis = jnp.broadcast_to(phis[:, None, :], (nsub, npol, nchan))
+    out = rotate_ri(x, phis.astype(data.dtype))
     if ndim == 1:
         return out[0, 0, 0]
     if ndim == 2:
@@ -119,9 +108,7 @@ def fft_rotate(arr, bins):
     """
     arr = jnp.asarray(arr)
     size = arr.shape[-1]
-    k = jnp.arange(size // 2 + 1, dtype=arr.dtype)
-    ramp = jnp.exp(2.0j * jnp.pi * k * bins / size)
-    return jnp.fft.irfft(ramp * jnp.fft.rfft(arr), n=size)
+    return rotate_ri(arr, jnp.asarray(bins, dtype=arr.dtype) / size)
 
 
 def add_DM_nu(port, phase=0.0, DM=None, P=None, freqs=None, xs=(-2.0,),
@@ -132,13 +119,10 @@ def add_DM_nu(port, phase=0.0, DM=None, P=None, freqs=None, xs=(-2.0,),
     frequency-dependent DM.  Reference: pplib.py:2509-2546.
     """
     port = jnp.asarray(port)
-    nbin = port.shape[-1]
-    pFFT = jnp.fft.rfft(port, axis=-1)
-    nharm = pFFT.shape[-1]
     if DM is None or freqs is None:
-        return jnp.fft.irfft(
-            pFFT * phasor(jnp.asarray(phase, dtype=port.dtype), nharm),
-            n=nbin, axis=-1)
+        phis = jnp.broadcast_to(jnp.asarray(phase, dtype=port.dtype),
+                                port.shape[:-1])
+        return rotate_ri(port, phis)
     freqs = jnp.asarray(freqs, dtype=port.dtype)
     xs = list(xs)
     Cs = list(Cs)
@@ -151,7 +135,7 @@ def add_DM_nu(port, phase=0.0, DM=None, P=None, freqs=None, xs=(-2.0,),
                              0.0 if x < 0 else jnp.inf, nu_ref ** x)
         freq_term = freq_term + C * (freqs ** x - ref_term)
     phis = phase + D * freq_term
-    return jnp.fft.irfft(pFFT * phasor(phis, nharm), n=nbin, axis=-1)
+    return rotate_ri(port, phis.astype(port.dtype))
 
 
 def rotate_portrait_np(port, phase=0.0, DM=0.0, P=None, freqs=None,

@@ -33,18 +33,14 @@ def make_mesh(n_batch=None, n_chan=1, devices=None) -> Mesh:
     return Mesh(grid, ("batch", "chan"))
 
 
-def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
-                              Ps, freqs, errs, weights=None,
-                              nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
-                              log10_tau=True, max_iter=100):
-    """Batched wideband fit with (batch, chan)-sharded portraits.
+def shard_fit_inputs(mesh, data_ports, model_ports, init_params, Ps, freqs,
+                     errs, weights=None, nu_fits=None):
+    """device_put the batched-fit operands with ('batch','chan') layouts.
 
-    data_ports/model_ports: (B, nchan, nbin) sharded as ('batch', 'chan',
-    None); per-item scalars are sharded along 'batch'.  Returns the same
-    PortraitFitResult as fit_portrait_full_batch.
+    model_ports may be (nchan, nbin) — the shared-model fast path — in
+    which case it shards as ('chan', None) and replicates over 'batch'.
+    Returns the sharded operands in fit_portrait_full_batch order.
     """
-    from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
-
     B, nchan, _ = data_ports.shape
     if freqs.ndim == 1:
         freqs = jnp.broadcast_to(freqs, (B, nchan))
@@ -54,19 +50,40 @@ def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
         nu_fits = jnp.broadcast_to(freqs.mean(axis=-1)[:, None], (B, 3))
 
     s_port = NamedSharding(mesh, P("batch", "chan", None))
+    s_model = s_port if model_ports.ndim == 3 else \
+        NamedSharding(mesh, P("chan", None))
     s_chan = NamedSharding(mesh, P("batch", "chan"))
     s_item = NamedSharding(mesh, P("batch"))
 
-    data_ports = jax.device_put(data_ports, s_port)
-    model_ports = jax.device_put(model_ports, s_port)
-    init_params = jax.device_put(init_params, s_item)
-    Ps = jax.device_put(Ps, s_item)
-    freqs = jax.device_put(freqs, s_chan)
-    errs = jax.device_put(errs, s_chan)
-    weights = jax.device_put(weights, s_chan)
-    nu_fits = jax.device_put(nu_fits, s_item)
+    return (jax.device_put(data_ports, s_port),
+            jax.device_put(model_ports, s_model),
+            jax.device_put(init_params, s_item),
+            jax.device_put(Ps, s_item),
+            jax.device_put(freqs, s_chan),
+            jax.device_put(errs, s_chan),
+            jax.device_put(weights, s_chan),
+            jax.device_put(nu_fits, s_item))
 
+
+def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
+                              Ps, freqs, errs, weights=None,
+                              nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
+                              log10_tau=True, max_iter=100, **kwargs):
+    """Batched wideband fit with (batch, chan)-sharded portraits.
+
+    data_ports: (B, nchan, nbin) sharded as ('batch', 'chan', None);
+    model_ports likewise, or (nchan, nbin) for the shared-model path;
+    per-item scalars are sharded along 'batch'.  Extra kwargs
+    (scattering, dft_precision, fft_matmul, ...) pass through.  Returns
+    the same PortraitFitResult as fit_portrait_full_batch.
+    """
+    from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
+
+    (data_ports, model_ports, init_params, Ps, freqs, errs, weights,
+     nu_fits) = shard_fit_inputs(mesh, data_ports, model_ports, init_params,
+                                 Ps, freqs, errs, weights, nu_fits)
     return fit_portrait_full_batch(data_ports, model_ports, init_params,
                                    Ps, freqs, errs, weights=weights,
                                    nu_fits=nu_fits, fit_flags=fit_flags,
-                                   log10_tau=log10_tau, max_iter=max_iter)
+                                   log10_tau=log10_tau, max_iter=max_iter,
+                                   **kwargs)

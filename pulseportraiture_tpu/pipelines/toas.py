@@ -245,8 +245,13 @@ class GetTOAs:
                  print_parangle=False,
                  add_instrumental_response=False,
                  addtnl_toa_flags=None, method="trust-ncg", bounds=None,
-                 nu_fits=None, show_plot=False, quiet=None):
-        """The main wideband TOA driver.  Reference: pptoas.py:150-743."""
+                 nu_fits=None, show_plot=False, quiet=None, mesh=None):
+        """The main wideband TOA driver.  Reference: pptoas.py:150-743.
+
+        mesh: optional jax.sharding.Mesh with ('batch', 'chan') axes
+        (parallel.mesh.make_mesh); the chunked batch fits then shard
+        subints over 'batch' and channels over 'chan', with the Newton
+        reductions crossing devices as per-item scalars on ICI."""
         import jax.numpy as jnp
         from pulseportraiture_tpu.fitters.phase_shift import fit_phase_shift
         from pulseportraiture_tpu.fitters.portrait import fit_portrait_full
@@ -415,7 +420,7 @@ class GetTOAs:
                     model_arg = jnp.asarray(m0) if shared else \
                         jnp.asarray(np.stack([p["model"] for _, p in part]))
                     t0 = time.time()
-                    bres = fit_portrait_full_batch(
+                    fit_args = (
                         jnp.asarray(np.stack(
                             [p["port"] for _, p in part])),
                         model_arg,
@@ -425,13 +430,26 @@ class GetTOAs:
                         jnp.asarray(np.stack(
                             [p["freqs"] for _, p in part])),
                         jnp.asarray(np.stack(
-                            [p["errs"] for _, p in part])),
-                        nu_fits=jnp.asarray(np.array(
-                            [[p["nu_fit"]] * 3 for _, p in part])),
+                            [p["errs"] for _, p in part])))
+                    nu_fits_arg = jnp.asarray(np.array(
+                        [[p["nu_fit"]] * 3 for _, p in part]))
+                    fit_kw = dict(
+                        nu_fits=nu_fits_arg,
                         fit_flags=fit_flags, log10_tau=log10_tau,
                         scattering=None if fit_scat else False,
                         dft_precision=os.environ.get("PP_DFT_PRECISION",
                                                      "high"))
+                    if mesh is not None and \
+                            len(part) % mesh.shape["batch"] == 0 and \
+                            shape[0] % mesh.shape["chan"] == 0:
+                        from pulseportraiture_tpu.parallel.mesh import \
+                            shard_fit_inputs
+                        sh = shard_fit_inputs(mesh, *fit_args,
+                                              nu_fits=nu_fits_arg)
+                        fit_args = sh[:6]
+                        fit_kw["weights"] = sh[6]
+                        fit_kw["nu_fits"] = sh[7]
+                    bres = fit_portrait_full_batch(*fit_args, **fit_kw)
                     # one device->host transfer per chunk; assembly then
                     # reads plain numpy (no per-field device syncs).  The
                     # device_get also forces completion (block_until_ready
