@@ -129,54 +129,53 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
         nu_zero_tau = jnp.exp(numer_t / denom_t)
         return [nu_zero_DM, nu_GM, nu_zero_tau]
 
-    if ff == (1, 1, 1, 0, 0):  # pptoaslib.py:779-812, host polynomial
-        Hn_np = np.asarray(Hn)
-        freqs_np = np.asarray(freqs)
+    if ff == (1, 1, 1, 0, 0):  # pptoaslib.py:779-812, polynomial
         # identity substitutions: the reference divides the DM/GM rows by
         # the FULL phis_deriv here, so Hn[1,j]/pd1 = Hn[2,j]/pd2 = Hn[0,j]
         # exactly (no leftover constants)
         if option == 0:  # zero covariance between phi and DM
-            H21_n, H23_n = Hn_np[0, 0], Hn_np[0, 2]
-            H31_n, H33_n = Hn_np[0, 0], Hn_np[0, 2]
-            A, B = (H31_n * freqs_np ** -4).sum(), H31_n.sum()
-            C, D = (H23_n * freqs_np ** -2).sum(), H23_n.sum()
-            E, F = (H33_n * freqs_np ** -4).sum(), H33_n.sum()
-            G, H = (H21_n * freqs_np ** -2).sum(), H21_n.sum()
+            H21_n, H23_n = Hn[0, 0], Hn[0, 2]
+            H31_n, H33_n = Hn[0, 0], Hn[0, 2]
+            A, B = (H31_n * freqs ** -4).sum(), H31_n.sum()
+            C, D = (H23_n * freqs ** -2).sum(), H23_n.sum()
+            E, F = (H33_n * freqs ** -4).sum(), H33_n.sum()
+            G, H = (H21_n * freqs ** -2).sum(), H21_n.sum()
         elif option == 1:  # zero covariance between phi and GM
-            H21_n, H22_n = Hn_np[0, 0], Hn_np[0, 1]
-            H31_n, H32_n = Hn_np[0, 0], Hn_np[0, 1]
-            A, B = (H21_n * freqs_np ** -4).sum(), H21_n.sum()
-            C, D = (H32_n * freqs_np ** -2).sum(), H32_n.sum()
-            E, F = (H22_n * freqs_np ** -4).sum(), H22_n.sum()
-            G, H = (H31_n * freqs_np ** -2).sum(), H31_n.sum()
+            H21_n, H22_n = Hn[0, 0], Hn[0, 1]
+            H31_n, H32_n = Hn[0, 0], Hn[0, 1]
+            A, B = (H21_n * freqs ** -4).sum(), H21_n.sum()
+            C, D = (H32_n * freqs ** -2).sum(), H32_n.sum()
+            E, F = (H22_n * freqs ** -4).sum(), H22_n.sum()
+            G, H = (H31_n * freqs ** -2).sum(), H31_n.sum()
         else:
             return [nu_DM, nu_GM, nu_tau]
-        coeffs = [(A * C - E * G), 0.0, (E * H - A * D), 0.0,
-                  (F * G - B * C), 0.0, (B * D - F * H)]
-        nu_zero = _nearest_positive_real_root(coeffs, float(freqs_np.mean()))
-        return [jnp.asarray(nu_zero), jnp.asarray(nu_zero), nu_tau]
+        coeffs = jnp.stack([(A * C - E * G), jnp.zeros_like(A),
+                            (E * H - A * D), jnp.zeros_like(A),
+                            (F * G - B * C), jnp.zeros_like(A),
+                            (B * D - F * H)])
+        nu_zero = _nearest_positive_real_root(coeffs, freqs.mean(),
+                                              square=False)
+        return [nu_zero, nu_zero, nu_tau]
 
-    if ff == (1, 1, 1, 1, 0):  # pptoaslib.py:837-892, host polynomial
-        Hn_np = np.asarray(Hn)
-        freqs_np = np.asarray(freqs)
-        P = float(setup.P)
-        Hij = Hn_np[:4, :4].sum(axis=-1)
+    if ff == (1, 1, 1, 1, 0):  # pptoaslib.py:837-892, polynomial
+        P = setup.P
+        Hij = Hn[:4, :4].sum(axis=-1)
         # the reference divides by bare (nu^-2 - nu_DM^-2) etc; the
         # identity rows carry the extra Dconst/P factors explicitly
         c1 = DCONST / P
         c2 = DCONST ** 2 / P
         H14, H44 = Hij[3, 0], Hij[3, 3]
         if option == 0:
-            H21_n, H23_n, H24_n = (c1 * Hn_np[0, 0], c1 * Hn_np[0, 2],
-                                   c1 * Hn_np[0, 3])
-            H31_n, H33_n, H34_n = (c2 * Hn_np[0, 0], c2 * Hn_np[0, 2],
-                                   c2 * Hn_np[0, 3])
-            A, a = (freqs_np ** -4 * H34_n).sum(), H34_n.sum()
-            B, b = (freqs_np ** -2 * H21_n).sum(), H21_n.sum()
-            C, c = (freqs_np ** -4 * H31_n).sum(), H31_n.sum()
-            D, d = (freqs_np ** -2 * H23_n).sum(), H23_n.sum()
-            E, e = (freqs_np ** -4 * H33_n).sum(), H33_n.sum()
-            F, f = (freqs_np ** -2 * H24_n).sum(), H24_n.sum()
+            H21_n, H23_n, H24_n = (c1 * Hn[0, 0], c1 * Hn[0, 2],
+                                   c1 * Hn[0, 3])
+            H31_n, H33_n, H34_n = (c2 * Hn[0, 0], c2 * Hn[0, 2],
+                                   c2 * Hn[0, 3])
+            A, a = (freqs ** -4 * H34_n).sum(), H34_n.sum()
+            B, b = (freqs ** -2 * H21_n).sum(), H21_n.sum()
+            C, c = (freqs ** -4 * H31_n).sum(), H31_n.sum()
+            D, d = (freqs ** -2 * H23_n).sum(), H23_n.sum()
+            E, e = (freqs ** -4 * H33_n).sum(), H33_n.sum()
+            F, f = (freqs ** -2 * H24_n).sum(), H24_n.sum()
             P5 = A * A * B + H44 * C * D + H14 * E * F - H44 * B * E - \
                 A * C * F - H14 * A * D
             P4 = -A * A * b - H44 * C * d - H14 * E * f + H44 * b * E + \
@@ -187,18 +186,18 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
                 (A * c + a * C) * f - H14 * a * d
             P1 = a * a * B - a * c * F
             P0 = -a * a * b + a * c * f
-            coeffs = [P5, P4, P3, P2, P1, P0]
+            coeffs = jnp.stack([P5, P4, P3, P2, P1, P0])
         elif option == 1:
-            H21_n, H22_n, H24_n = (c1 * Hn_np[0, 0], c1 * Hn_np[0, 1],
-                                   c1 * Hn_np[0, 3])
-            H31_n, H32_n, H34_n = (c2 * Hn_np[0, 0], c2 * Hn_np[0, 1],
-                                   c2 * Hn_np[0, 3])
-            A, a = (freqs_np ** -2 * H24_n).sum(), H24_n.sum()
-            B, b = (freqs_np ** -4 * H31_n).sum(), H31_n.sum()
-            C, c = (freqs_np ** -2 * H21_n).sum(), H21_n.sum()
-            D, d = (freqs_np ** -4 * H32_n).sum(), H32_n.sum()
-            E, e = (freqs_np ** -2 * H22_n).sum(), H22_n.sum()
-            F, f = (freqs_np ** -4 * H34_n).sum(), H34_n.sum()
+            H21_n, H22_n, H24_n = (c1 * Hn[0, 0], c1 * Hn[0, 1],
+                                   c1 * Hn[0, 3])
+            H31_n, H32_n, H34_n = (c2 * Hn[0, 0], c2 * Hn[0, 1],
+                                   c2 * Hn[0, 3])
+            A, a = (freqs ** -2 * H24_n).sum(), H24_n.sum()
+            B, b = (freqs ** -4 * H31_n).sum(), H31_n.sum()
+            C, c = (freqs ** -2 * H21_n).sum(), H21_n.sum()
+            D, d = (freqs ** -4 * H32_n).sum(), H32_n.sum()
+            E, e = (freqs ** -2 * H22_n).sum(), H22_n.sum()
+            F, f = (freqs ** -4 * H34_n).sum(), H34_n.sum()
             P4 = A * A * B + H44 * C * D + H14 * E * F - H44 * B * E - \
                 A * C * F - H14 * A * D
             P3 = -2 * A * a * B - H44 * c * D - H14 * e * F + H44 * B * e + \
@@ -208,27 +207,76 @@ def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,
             P1 = 2 * A * a * b + H44 * c * d + H14 * e * f - H44 * b * e - \
                 (A * c + a * C) * f - H14 * a * d
             P0 = -a * a * b + a * c * f
-            coeffs = [P4, P3, P2, P1, P0]
+            coeffs = jnp.stack([P4, P3, P2, P1, P0])
         else:
             return [nu_DM, nu_GM, nu_tau]
         # roots are in u = nu^2 for this branch (reference takes roots**0.5)
-        roots = np.roots(coeffs)
-        roots = np.real(roots[np.imag(roots) == 0.0])
-        roots = roots[roots > 0.0] ** 0.5
-        mean_f = float(freqs_np.mean())
-        if len(roots) == 0:
-            return [nu_DM, nu_GM, nu_tau]
-        nu_zero = roots[np.argmin(np.abs(mean_f - roots))]
-        return [jnp.asarray(nu_zero), jnp.asarray(nu_zero), nu_tau]
+        nu_zero = _nearest_positive_real_root(coeffs, freqs.mean(),
+                                              square=True)
+        return [nu_zero, nu_zero, nu_tau]
 
     # no zero-covariance frequencies for this flag combination
     return [nu_DM, nu_GM, nu_tau]
 
 
-def _nearest_positive_real_root(coeffs, target):
-    roots = np.roots(coeffs)
-    roots = np.real(roots[np.imag(roots) == 0.0])
-    roots = roots[roots > 0.0]
-    if len(roots) == 0:
-        return target
-    return roots[np.argmin(np.abs(target - roots))]
+_ROOT_GRID = 2048     # log-grid points spanning 1e-3..1e3 x target
+_ROOT_BISECT = 60     # bisection refinements per bracketed root
+
+
+def _nearest_positive_real_root(coeffs, target, square=False):
+    """Positive real root of the polynomial nearest the target frequency,
+    entirely on device (jit/vmap-safe; no host callbacks — the TPU
+    backend supports neither nonsymmetric eigensolvers nor
+    pure_callback).
+
+    The polynomial (descending coefficients, variable v; v = nu^2 when
+    square=True) is rescaled to v' = v/t and its coefficients normalized,
+    then evaluated on a 1e-3..1e3 logarithmic grid of v'; every sign
+    change is refined by masked bisection and the resulting root nearest
+    the target is returned (the reference's np.roots pick,
+    pptoaslib.py:806-811, 884-890; falls back to the target when no
+    bracketed root exists).
+    """
+    coeffs = jnp.asarray(coeffs)
+    dtype = coeffs.dtype
+    target = jnp.asarray(target, dtype=dtype)
+    t = target ** 2 if square else target
+    deg = coeffs.shape[-1] - 1
+    # scale the variable by t and normalize coefficients: c'_j = c_j t^(deg-j)
+    powers = t ** jnp.arange(deg, -1, -1, dtype=dtype)
+    cs = coeffs * powers
+    norm = jnp.max(jnp.abs(cs))
+    cs = cs / jnp.where(norm > 0.0, norm, 1.0)
+
+    def horner(v):
+        acc = jnp.broadcast_to(cs[0], v.shape)
+        for j in range(1, deg + 1):
+            acc = acc * v + cs[j]
+        return acc
+
+    grid = jnp.exp(jnp.linspace(jnp.log(jnp.asarray(1e-3, dtype)),
+                                jnp.log(jnp.asarray(1e3, dtype)),
+                                _ROOT_GRID).astype(dtype))
+    pv = horner(grid)
+    lo, hi = grid[:-1], grid[1:]
+    plo, phi_v = pv[:-1], pv[1:]
+    bracketed = (plo == 0.0) | (jnp.sign(plo) * jnp.sign(phi_v) < 0.0)
+
+    def body(_, state):
+        lo, hi, plo = state
+        mid = 0.5 * (lo + hi)
+        pm = horner(mid)
+        go_left = jnp.sign(pm) * jnp.sign(plo) > 0.0
+        lo2 = jnp.where(go_left, mid, lo)
+        plo2 = jnp.where(go_left, pm, plo)
+        hi2 = jnp.where(go_left, hi, mid)
+        return lo2, hi2, plo2
+
+    import jax
+    lo_f, hi_f, _ = jax.lax.fori_loop(0, _ROOT_BISECT, body, (lo, hi, plo))
+    roots_v = 0.5 * (lo_f + hi_f) * t          # back to physical v
+    roots_nu = jnp.sqrt(roots_v) if square else roots_v
+    dist = jnp.where(bracketed, jnp.abs(roots_nu - target), jnp.inf)
+    best = jnp.argmin(dist)
+    any_root = jnp.any(bracketed) & jnp.all(jnp.isfinite(cs))
+    return jnp.where(any_root, roots_nu[best], target)

@@ -381,7 +381,9 @@ class GetTOAs:
         # jit-cached per-subint fitter in the assembly pass. ----
         results = {}
         batchable_items = []
-        if nu_refs is None and not fit_flags[2]:
+        # fit_GM combos batch too: their polynomial nu_zeros solve via a
+        # host pure_callback inside the jitted batch program
+        if nu_refs is None:
             for iarch, job in enumerate(arch_jobs):
                 for p in job["preps"]:
                     if p["sub_flags"] == fit_flags:

@@ -298,3 +298,50 @@ def test_fit_portrait_full_recovers_GM():
     assert abs(float(res.GM) - GM0) < 1e-6
     assert abs(float(res.DM) - DM0) < 1e-8
     assert np.isfinite(float(res.nu_DM))
+
+
+def test_batched_GM_fit_matches_single_path():
+    """The batched fitter must re-reference GM fits at the true
+    polynomial zero-covariance frequency (via the in-jit host root
+    callback), matching fit_portrait_full exactly (VERDICT r1, weak #4).
+    """
+    from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
+
+    nchan, nbin, P = 24, 256, 0.003
+    B = 3
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    model = np.stack([np.asarray(gaussian_profile(nbin, 0.4, 0.04)) *
+                      (f / 1500.0) ** -1.2 for f in freqs])
+    nu_ref = float(freqs.mean())
+    rng = np.random.default_rng(3)
+    phis = rng.uniform(-0.01, 0.01, B)
+    DMs = rng.uniform(-1e-3, 1e-3, B)
+    GMs = rng.uniform(-0.5, 0.5, B)
+    data = np.stack([np.asarray(rotate_portrait_full(
+        jnp.asarray(model), -phis[b], -DMs[b], -GMs[b], jnp.asarray(freqs),
+        nu_ref, nu_ref, P=P)) for b in range(B)])
+    singles = []
+    for b in range(B):
+        res, _ = fit_portrait_full(
+            jnp.asarray(data[b]), jnp.asarray(model), jnp.zeros(5), P,
+            jnp.asarray(freqs), nu_fits=(nu_ref, nu_ref, nu_ref),
+            errs=jnp.full(nchan, 1e-4), fit_flags=(1, 1, 1, 0, 0),
+            log10_tau=False)
+        singles.append(res)
+    bres = fit_portrait_full_batch(
+        jnp.asarray(data), jnp.asarray(model),
+        jnp.zeros((B, 5)), jnp.full(B, P),
+        jnp.asarray(np.broadcast_to(freqs, (B, nchan))),
+        jnp.full((B, nchan), 1e-4),
+        nu_fits=jnp.full((B, 3), nu_ref),
+        fit_flags=(1, 1, 1, 0, 0), log10_tau=False, scattering=False)
+    for b in range(B):
+        s = singles[b]
+        np.testing.assert_allclose(np.asarray(bres.nu_DM)[b],
+                                   float(s.nu_DM), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(bres.params)[b],
+                                   np.asarray(s.params), rtol=0,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(bres.param_errs)[b],
+                                   np.asarray(s.param_errs), rtol=1e-6,
+                                   atol=1e-12)
