@@ -1,0 +1,275 @@
+"""Narrowband shift estimators in the style of PSRCHIVE's ArrivalTime.
+
+The reference's get_psrchive_TOAs shells into PSRCHIVE's C++ ArrivalTime
+with a three-letter shift-estimator code (reference pptoas.py:1133-1206;
+`pat -A`).  This module reimplements the estimator family natively and
+batched over channels — every algorithm is a distinct measurement, not
+an alias:
+
+  PGS  Phase Gradient Shift: weighted Fourier-domain FFTFIT (Taylor
+       1992); shift from Newton-polished cross-spectrum maximum, error
+       from the analytic curvature.
+  FDM  Fourier Domain "Monte-Carlo": same objective, but the error is
+       the standard deviation of the scale-marginalized posterior
+       p(phi) ~ exp(-chi2(phi)/2) integrated on a deterministic grid
+       around the maximum (PSRCHIVE samples this posterior with MCMC;
+       quadrature is exact for the same 1-D density).  At low S/N the
+       posterior is non-Gaussian and FDM errors genuinely differ from
+       PGS curvature errors.
+  SIS  Sinc Interpolation Shift: *unweighted* band-limited circular
+       cross-correlation (evaluating the CCF off-grid via its Fourier
+       series IS sinc interpolation); peak by grid + Newton, error from
+       the unweighted peak curvature.
+  PIS  Parabolic Interpolation Shift: discrete circular CCF at native
+       resolution, 3-point parabola through the peak.
+  GIS  Gaussian Interpolation Shift: 3-point parabola on ln CCF.
+  COF  Center Of Flux: circular centroid (first-harmonic phase) of data
+       minus model.
+
+All estimators run split-real (no complex arrays: TPU-safe) over
+(nchan, nbin) stacks in one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pulseportraiture_tpu.config import F0_FACT
+from pulseportraiture_tpu.ops.noise import get_noise_PS
+
+TWO_PI = 2.0 * jnp.pi
+
+ALGORITHMS = ("PGS", "FDM", "SIS", "PIS", "GIS", "COF")
+
+
+class ShiftResult(NamedTuple):
+    shift: jnp.ndarray       # (nchan,) [rot], data relative to model
+    shift_err: jnp.ndarray   # (nchan,) [rot]
+    scale: jnp.ndarray       # (nchan,)
+    snr: jnp.ndarray         # (nchan,)
+
+
+def _prep(data, model, noise, f0_fact=F0_FACT):
+    """Split-real spectra, cross spectrum and powers for (C, nbin)."""
+    from pulseportraiture_tpu.ops.fourier import rfft_ri
+
+    data = jnp.atleast_2d(jnp.asarray(data))
+    model = jnp.atleast_2d(jnp.asarray(model))
+    nbin = data.shape[-1]
+    dr, di = rfft_ri(data)
+    mr, mi = rfft_ri(model)
+    if not f0_fact:
+        dr = dr.at[..., 0].set(0.0)
+        di = di.at[..., 0].set(0.0)
+        mr = mr.at[..., 0].set(0.0)
+        mi = mi.at[..., 0].set(0.0)
+    if noise is None:
+        noise = get_noise_PS(data, chans=True)
+    err = jnp.asarray(noise) * jnp.sqrt(nbin / 2.0)
+    cr = dr * mr + di * mi
+    ci = di * mr - dr * mi
+    d0 = jnp.sum(dr * dr + di * di, axis=-1)
+    p0 = jnp.sum(mr * mr + mi * mi, axis=-1)
+    return cr, ci, d0, p0, err, (dr, di, mr, mi)
+
+
+def _ccf_max(cr, ci, Ns=256, newton_iter=8):
+    """Band-limited CCF maximum per channel: brute grid + Newton.
+
+    ccf(phi) = sum_k cr cos(2 pi k phi) - ci sin(2 pi k phi).
+    Returns (phi, ccf(phi), ccf''(phi)).
+    """
+    nharm = cr.shape[-1]
+    k = jnp.arange(nharm, dtype=cr.dtype)
+
+    def val(phi):
+        ang = TWO_PI * phi[..., None] * k
+        return jnp.sum(cr * jnp.cos(ang) - ci * jnp.sin(ang), axis=-1)
+
+    def dval(phi):
+        ang = TWO_PI * phi[..., None] * k
+        return -TWO_PI * jnp.sum(
+            k * (ci * jnp.cos(ang) + cr * jnp.sin(ang)), axis=-1)
+
+    def d2val(phi):
+        ang = TWO_PI * phi[..., None] * k
+        return -(TWO_PI ** 2) * jnp.sum(
+            k * k * (cr * jnp.cos(ang) - ci * jnp.sin(ang)), axis=-1)
+
+    grid = jnp.linspace(-0.5, 0.5, Ns).astype(cr.dtype)
+    ang = TWO_PI * grid[:, None] * k
+    vals = jnp.cos(ang) @ cr.T - jnp.sin(ang) @ ci.T     # (Ns, C)
+    phi = grid[jnp.argmax(vals, axis=0)]                 # (C,)
+
+    def newton(_, ph):
+        g = dval(ph)
+        h = d2val(ph)
+        step = g / jnp.where(h < 0.0, h, -jnp.inf)
+        return ph - jnp.clip(step, -0.5 / Ns, 0.5 / Ns)
+
+    phi = jax.lax.fori_loop(0, newton_iter, newton, phi)
+    return phi, val(phi), d2val(phi)
+
+
+def _pgs(cr, ci, d0, p0, err, nbin):
+    w2 = err ** -2.0
+    phi, cmax, curv = _ccf_max(cr, ci)
+    p = p0 * w2
+    scale = cmax * w2 / p
+    curvature = scale * (-curv) * w2          # of chi2/2 in phi
+    shift_err = jnp.where(curvature > 0.0,
+                          jnp.where(curvature > 0.0, curvature,
+                                    1.0) ** -0.5, jnp.inf)
+    snr = jnp.sqrt(jnp.clip(scale ** 2 * p, 0.0))
+    return phi, shift_err, scale, snr, cmax, p, w2
+
+
+def shift_PGS(data, model, noise=None):
+    cr, ci, d0, p0, err, _ = _prep(data, model, noise)
+    nbin = jnp.asarray(data).shape[-1]
+    phi, shift_err, scale, snr, _, _, _ = _pgs(cr, ci, d0, p0, err, nbin)
+    return ShiftResult(phi, shift_err, scale, snr)
+
+
+def shift_FDM(data, model, noise=None, npts=257, width_sigmas=8.0):
+    """MAP shift with a posterior-quadrature error bar.
+
+    chi2(phi)/2 marginalized over the scale is -C(phi)^2/(2 p) + const;
+    the error is the SD of exp(C(phi)^2/(2p) - C(phi_map)^2/(2p)) on a
+    grid of +-width_sigmas PGS-sigmas (clamped to a full turn).
+    """
+    cr, ci, d0, p0, err, _ = _prep(data, model, noise)
+    nbin = jnp.asarray(data).shape[-1]
+    phi, sig_pgs, scale, snr, cmax, p, w2 = _pgs(cr, ci, d0, p0, err, nbin)
+    nharm = cr.shape[-1]
+    k = jnp.arange(nharm, dtype=cr.dtype)
+    half = jnp.where(jnp.isfinite(sig_pgs) & (sig_pgs > 0.0),
+                     jnp.minimum(width_sigmas * sig_pgs, 0.5), 0.5)
+    offs = jnp.linspace(-1.0, 1.0, npts).astype(cr.dtype)
+    phis = phi[:, None] + half[:, None] * offs[None, :]      # (C, npts)
+    ang = TWO_PI * phis[..., None] * k                       # (C, npts, K)
+    C = jnp.einsum("cnk,ck->cn", jnp.cos(ang), cr) - \
+        jnp.einsum("cnk,ck->cn", jnp.sin(ang), ci)
+    C = C * w2[:, None]
+    logw = (C ** 2 - (cmax * w2)[:, None] ** 2) / (2.0 * p[:, None])
+    w = jnp.exp(jnp.clip(logw, -60.0, 0.0))
+    wsum = jnp.sum(w, axis=-1)
+    mu = jnp.sum(w * phis, axis=-1) / wsum
+    var = jnp.sum(w * (phis - mu[:, None]) ** 2, axis=-1) / wsum
+    return ShiftResult(phi, jnp.sqrt(var), scale, snr)
+
+
+def shift_SIS(data, model, noise=None):
+    """Unweighted band-limited (sinc-interpolated) CCF peak."""
+    cr, ci, d0, p0, err, _ = _prep(data, model, noise)
+    nbin = jnp.asarray(data).shape[-1]
+    phi, cmax, curv = _ccf_max(cr, ci)
+    scale = cmax / p0
+    # uniform-weight curvature error with the channel's Fourier noise
+    w2 = err ** -2.0
+    curvature = scale * (-curv) * w2
+    shift_err = jnp.where(curvature > 0.0,
+                          jnp.where(curvature > 0.0, curvature,
+                                    1.0) ** -0.5, jnp.inf)
+    snr = jnp.sqrt(jnp.clip(scale ** 2 * p0 * w2, 0.0))
+    return ShiftResult(phi, shift_err, scale, snr)
+
+
+def _discrete_ccf(cr, ci, nbin):
+    from pulseportraiture_tpu.ops.fourier import irfft_ri
+    # ccf(j/nbin) = sum_k cr cos(2 pi k j/nbin) - ci sin(2 pi k j/nbin)
+    # == nbin/2 * irfft-like synthesis; evaluate via irfft_ri directly:
+    # irfft_ri(re, im)(j) = (2/nbin) [0.5 re0 + sum re cos + im(-sin)...]
+    ccf = irfft_ri(cr, -ci, n=nbin) * (nbin / 2.0)
+    # irfft halves the DC and Nyquist terms vs the plain cosine series;
+    # restore them so the series matches _ccf_max's definition
+    corr = 0.5 * cr[..., :1] * jnp.ones_like(ccf)
+    if nbin % 2 == 0:
+        j = jnp.arange(nbin, dtype=cr.dtype)
+        corr = corr + 0.5 * cr[..., -1:] * jnp.cos(jnp.pi * j)
+    return ccf + corr
+
+
+def _three_point(y_m, y_0, y_p):
+    denom = y_m - 2.0 * y_0 + y_p
+    return 0.5 * (y_m - y_p) / jnp.where(denom != 0.0, denom, 1.0), denom
+
+
+def _interp_shift(data, model, noise, log_interp):
+    cr, ci, d0, p0, err, _ = _prep(data, model, noise)
+    nbin = jnp.asarray(data).shape[-1]
+    ccf = _discrete_ccf(cr, ci, nbin)                    # (C, nbin)
+    imax = jnp.argmax(ccf, axis=-1)
+    C = ccf.shape[0]
+    rows = jnp.arange(C)
+    y0 = ccf[rows, imax]
+    ym = ccf[rows, (imax - 1) % nbin]
+    yp = ccf[rows, (imax + 1) % nbin]
+    if log_interp:   # Gaussian interpolation: parabola on ln y
+        floor = 1e-12 * jnp.maximum(y0, 1.0)
+        delta, denom = _three_point(jnp.log(jnp.maximum(ym, floor)),
+                                    jnp.log(jnp.maximum(y0, floor)),
+                                    jnp.log(jnp.maximum(yp, floor)))
+        curv_y = (ym - 2.0 * y0 + yp)
+    else:            # parabolic interpolation
+        delta, curv_y = _three_point(ym, y0, yp)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    # the irfft synthesis evaluates the series at phi = -j/nbin, so the
+    # argmax bin maps to a shift of -(j + delta)/nbin in _ccf_max's
+    # convention (verified against PGS on injected shifts)
+    phi = -(imax + delta) / nbin
+    phi = (phi + 0.5) % 1.0 - 0.5
+    w2 = err ** -2.0
+    scale = y0 / p0
+    curvature = scale * (-curv_y * nbin ** 2) * w2
+    shift_err = jnp.where(curvature > 0.0,
+                          jnp.where(curvature > 0.0, curvature,
+                                    1.0) ** -0.5, jnp.inf)
+    snr = jnp.sqrt(jnp.clip(scale ** 2 * p0 * w2, 0.0))
+    return ShiftResult(phi, shift_err, scale, snr)
+
+
+def shift_PIS(data, model, noise=None):
+    return _interp_shift(data, model, noise, log_interp=False)
+
+
+def shift_GIS(data, model, noise=None):
+    return _interp_shift(data, model, noise, log_interp=True)
+
+
+def shift_COF(data, model, noise=None):
+    """Circular center-of-flux: first-harmonic phase of data - model."""
+    cr, ci, d0, p0, err, (dr, di, mr, mi) = _prep(data, model, noise)
+    # arg(D1) - arg(M1) = arg(D1 conj(M1)) = arg(c1)
+    phi = jnp.arctan2(-ci[..., 1], cr[..., 1]) / TWO_PI
+    a1 = jnp.sqrt(dr[..., 1] ** 2 + di[..., 1] ** 2)
+    shift_err = jnp.where(a1 > 0.0,
+                          err / jnp.where(a1 > 0.0, a1, 1.0) / TWO_PI,
+                          jnp.inf)
+    w2 = err ** -2.0
+    scale = cr[..., 1] * 0.0 + jnp.sum(
+        cr * jnp.cos(TWO_PI * phi[..., None] *
+                     jnp.arange(cr.shape[-1], dtype=cr.dtype)) -
+        ci * jnp.sin(TWO_PI * phi[..., None] *
+                     jnp.arange(cr.shape[-1], dtype=cr.dtype)),
+        axis=-1) / p0
+    snr = jnp.sqrt(jnp.clip(scale ** 2 * p0 * w2, 0.0))
+    return ShiftResult(phi, shift_err, scale, snr)
+
+
+_DISPATCH = {"PGS": shift_PGS, "FDM": shift_FDM, "SIS": shift_SIS,
+             "PIS": shift_PIS, "GIS": shift_GIS, "COF": shift_COF}
+
+
+def arrival_time_shifts(data, model, noise=None, algorithm="PGS"):
+    """Dispatch on the PSRCHIVE `pat -A` style algorithm code."""
+    try:
+        fn = _DISPATCH[algorithm]
+    except KeyError:
+        raise ValueError(
+            f"algorithm {algorithm!r} not supported; one of {ALGORITHMS}")
+    return fn(data, model, noise=noise)

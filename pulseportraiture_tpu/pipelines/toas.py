@@ -864,19 +864,82 @@ class GetTOAs:
         """Narrowband TOAs in the style of PSRCHIVE's ArrivalTime.
 
         The reference shells into the PSRCHIVE C++ ArrivalTime estimator
-        (pptoas.py:1133-1206).  Natively, the Fourier-domain algorithms
-        map onto this framework's FFTFIT core: 'PGS' (phase gradient),
-        'FDM' (Fourier-domain Monte-Carlo error estimate -> analytic
-        second-derivative error here) and 'SIS' all reduce to the
-        cross-spectrum phase fit; time-domain shift algorithms are not
-        reimplemented.  Output plumbing matches get_narrowband_TOAs.
+        (pptoas.py:1133-1206, `pat -A <algorithm>`).  Here the estimator
+        family is native and batched (fitters/arrival_time.py): PGS, FDM,
+        SIS, PIS, GIS and COF are genuinely distinct measurements (e.g.
+        FDM errors come from the scale-marginalized posterior, PIS/GIS
+        from discrete-CCF interpolation).  Results are appended to
+        self.psrchive_toas as pat-style tempo2 lines, and returned as a
+        list of TOA objects.
         """
-        if algorithm not in ("PGS", "FDM", "SIS"):
+        import jax.numpy as jnp
+        from pulseportraiture_tpu.fitters.arrival_time import (
+            ALGORITHMS, arrival_time_shifts)
+
+        if algorithm not in ALGORITHMS:
             raise ValueError(
                 f"algorithm {algorithm!r} not supported natively; "
-                "use PGS, FDM, or SIS (Fourier-domain family)")
-        return self.get_narrowband_TOAs(datafile=datafile,
-                                        tscrunch=tscrunch, quiet=quiet)
+                f"one of {ALGORITHMS}")
+        if toa_format.lower() not in ("tempo2",):
+            raise ValueError("only tempo2 format is supported")
+        quiet = self.quiet if quiet is None else quiet
+        datafiles = [datafile] if datafile is not None else self.datafiles
+        if not hasattr(self, "psrchive_toas"):
+            self.psrchive_toas = []
+        toa_objs = []
+        for idf, df in enumerate(datafiles):
+            try:
+                data = load_data(df, dedisperse=False, dededisperse=True,
+                                 tscrunch=tscrunch, pscrunch=True,
+                                 rm_baseline=True, quiet=quiet)
+            except (OSError, ValueError, KeyError, EOFError) as exc:
+                print(f"Skipping {df}: could not load ({exc})")
+                continue
+            lines = []
+            for isub in data.ok_isubs:
+                P = data.Ps[isub]
+                freqs = data.freqs[isub]
+                port = data.subints[isub, 0]
+                errs_all = data.noise_stds[isub, 0]
+                okc = data.ok_ichans[isub]
+                if not len(okc):
+                    continue
+                model = self.model_source.eval(data.phases, freqs, P)
+                res = arrival_time_shifts(
+                    jnp.asarray(port[okc]), jnp.asarray(model[okc]),
+                    noise=jnp.asarray(errs_all[okc]), algorithm=algorithm)
+                shifts = np.asarray(res.shift)
+                shift_errs = np.asarray(res.shift_err)
+                snrs = np.asarray(res.snr)
+                epoch = data.epochs[isub]
+                for ix, ichan in enumerate(okc):
+                    toa_mjd = epoch.add_seconds(
+                        shifts[ix] * P + data.backend_delay)
+                    toa_err_us = shift_errs[ix] * P * 1e6
+                    fl = dict(fe=data.frontend, be=data.backend,
+                              f=f"{data.frontend}_{data.backend}",
+                              tmplt=self.modelfile, gof=1.0,
+                              nbin=data.nbin, snr=float(snrs[ix]))
+                    if flags != "IPTA":
+                        fl = {}
+                    if "chan" in attributes:
+                        fl["chan"] = int(ichan)
+                    if "subint" in attributes:
+                        fl["subint"] = int(isub)
+                    toa = TOA(df, float(freqs[ichan]), toa_mjd,
+                              float(toa_err_us), data.telescope,
+                              data.telescope_code, flags=fl)
+                    toa_objs.append(toa)
+                    mjd_s = "%d.%015d" % (
+                        toa_mjd.days,
+                        int(round(toa_mjd.fracday() * 1e15)))
+                    flag_s = " ".join(f"-{k} {v}" for k, v in fl.items())
+                    lines.append(
+                        f"{df} {float(freqs[ichan]):.6f} {mjd_s} "
+                        f"{toa_err_us:.3f} {data.telescope_code} "
+                        f"{flag_s}".rstrip())
+            self.psrchive_toas.append(lines)
+        return toa_objs
 
     def show_fit(self, datafile=None, isub=0, rotate=True, savefig=False,
                  show=True, return_fit=False, quiet=None):
