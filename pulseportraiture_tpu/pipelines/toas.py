@@ -253,10 +253,8 @@ class GetTOAs:
         subints over 'batch' and channels over 'chan', with the Newton
         reductions crossing devices as per-item scalars on ICI."""
         import jax.numpy as jnp
-        from pulseportraiture_tpu.fitters.phase_shift import fit_phase_shift
         from pulseportraiture_tpu.fitters.portrait import fit_portrait_full
         from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
-        from pulseportraiture_tpu.ops.transform import guess_fit_freq
 
         quiet = self.quiet if quiet is None else quiet
         datafiles = [datafile] if datafile is not None else self.datafiles
@@ -327,8 +325,13 @@ class GetTOAs:
                 if nu_fits is not None:
                     nu_fit = float(np.atleast_1d(nu_fits)[0])
                 else:
-                    nu_fit = float(guess_fit_freq(jnp.asarray(freqsx),
-                                                  jnp.asarray(SNRsx)))
+                    # host evaluation (pplib.py:2618-2632): a per-subint
+                    # eager device call costs ~30 ms dispatch on remote
+                    # backends for a 10-flop reduction
+                    nu0 = (freqsx.min() + freqsx.max()) * 0.5
+                    wgt = SNRsx * freqsx ** -2.0
+                    nu_fit = float(nu0 + ((freqsx - nu0) * wgt).sum() /
+                                   wgt.sum())
 
                 # base rotation: remove the header-DM dispersion at full
                 # float64 precision on the host, so the device fit solves
@@ -340,12 +343,12 @@ class GetTOAs:
                 port_fit = rotate_portrait_np(port, 0.0, DM_base, P,
                                               freqs, nu_fit)
 
-                # initial guesses (pptoas.py:418-469)
+                # initial guesses (pptoas.py:418-469); the brute+Newton
+                # phase fit runs batched per archive after this loop
+                # (one device dispatch instead of one per subint)
                 mean_prof = (port_fit[okc] * weights[okc][:, None]).mean(0)
                 mean_model = model[okc].mean(0)
-                pguess = fit_phase_shift(jnp.asarray(mean_prof),
-                                         jnp.asarray(mean_model), Ns=100)
-                phase_guess = float(pguess.phase)
+                phase_guess = 0.0  # filled by the batched pass below
                 DM_guess = 0.0  # residual around DM_base
                 sg = scat_guess if scat_guess is not None else \
                     _DEFAULT_SCAT_GUESS
@@ -369,7 +372,23 @@ class GetTOAs:
                                   weights=weights, port=port_fit,
                                   errs=errs, okc=okc, model=model,
                                   nu_fit=nu_fit, init=init,
-                                  sub_flags=sub_flags, DM_base=DM_base))
+                                  sub_flags=sub_flags, DM_base=DM_base,
+                                  mean_prof=mean_prof,
+                                  mean_model=mean_model))
+
+            # batched phase guesses: all subints of the archive in one
+            # fit_phase_shift_batch dispatch (mean profiles share nbin)
+            if preps:
+                from pulseportraiture_tpu.fitters.phase_shift import \
+                    fit_phase_shift_batch
+                pg = fit_phase_shift_batch(
+                    jnp.asarray(np.stack([p["mean_prof"] for p in preps])),
+                    jnp.asarray(np.stack([p["mean_model"]
+                                          for p in preps])), Ns=100)
+                pg_phase = np.asarray(pg.phase)
+                for p, ph in zip(preps, pg_phase):
+                    p["init"][0] = float(ph)
+                    del p["mean_prof"], p["mean_model"]
 
             arch_jobs.append(dict(df=df, data=data, DM0_arch=DM0_arch,
                                   preps=preps, nbin=nbin))

@@ -133,9 +133,13 @@ def test_get_psrchive_toas_and_filter(ws):
     from pulseportraiture_tpu.io.tim import filter_TOAs
     from pulseportraiture_tpu.pipelines.toas import GetTOAs
     gt = GetTOAs([fits], gmodel, quiet=True)
-    gt.get_psrchive_TOAs(algorithm="PGS", quiet=True)
-    assert len(gt.TOA_list) == 2 * 16
-    high = filter_TOAs(gt.TOA_list, "snr", 50.0, ">=")
-    assert 0 < len(high) <= len(gt.TOA_list)
+    toas = gt.get_psrchive_TOAs(algorithm="PGS", quiet=True)
+    # matches the reference contract: results in self.psrchive_toas
+    # (pat-style lines), returned as TOA objects; TOA_list untouched
+    assert len(toas) == 2 * 16
+    assert len(gt.psrchive_toas) == 1
+    assert len(gt.psrchive_toas[0]) == 2 * 16
+    high = filter_TOAs(toas, "snr", 50.0, ">=")
+    assert 0 < len(high) <= len(toas)
     with _pytest.raises(ValueError):
         gt.get_psrchive_TOAs(algorithm="RVM")
