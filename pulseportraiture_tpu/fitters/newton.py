@@ -149,7 +149,14 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         pred = -(st.g @ p + 0.5 * p @ st.H @ p)
         actual = st.f - f_new
         rho = actual / jnp.where(pred > 0.0, pred, 1e-300)
-        accept = (pred > 0.0) & (rho > 0.15) & jnp.isfinite(f_new)
+        # when the predicted decrease is below the floating-point
+        # resolution of f itself (huge raw chi2 in f32), rho is pure
+        # rounding noise: accept the (trust-region) step and declare
+        # ftol-convergence — the remaining improvement is unmeasurable
+        eps_f = 8.0 * jnp.finfo(dtype).eps * jnp.abs(st.f)
+        tiny_pred = (pred <= eps_f) & (actual >= -4.0 * eps_f)
+        accept = (pred > 0.0) & ((rho > 0.15) | tiny_pred) & \
+            jnp.isfinite(f_new)
         pnorm = jnp.sqrt(jnp.sum(p ** 2))
         # a non-finite trial value (e.g. 10**tau overflow) must SHRINK
         # the radius, or the same bad step is retried until max_iter
@@ -169,8 +176,8 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         gnorm = jnp.sqrt(jnp.sum(g ** 2))
         gconv = (gnorm < gtol) | (gnorm < gtol_rel * g0norm)
         xconv = accept & (pnorm < xtol)
-        fconv = accept & (ftol > 0.0) & (actual < ftol * jnp.maximum(
-            jnp.abs(st.f), 1.0))
+        fconv = (accept & (ftol > 0.0) & (actual < ftol * jnp.maximum(
+            jnp.abs(st.f), 1.0))) | (accept & tiny_pred & (pred > 0.0))
         stalled = (~accept) & (radius < xtol)
         done = gconv | xconv | fconv | stalled
         status = jnp.where(gconv, 0,

@@ -307,12 +307,13 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
-                                    "dft_precision"))
+                                    "dft_precision", "stats_dtype"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
-                            scattering=None, dft_precision=None):
+                            scattering=None, dft_precision=None,
+                            stats_dtype=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -350,7 +351,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
                                  weights=wt, fft_matmul=fft_matmul,
                                  model_ft_ri=shared_mft,
-                                 dft_precision=dft_precision)
+                                 dft_precision=dft_precision,
+                                 stats_dtype=stats_dtype)
         res = newton.trust_region_minimize(
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,

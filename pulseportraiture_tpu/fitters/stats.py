@@ -101,7 +101,7 @@ def model_ft(model_port, f0_fact=F0_FACT, fft_matmul=False,
 
 def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
                weights=None, f0_fact=F0_FACT, fft_matmul=False,
-               model_ft_ri=None, dft_precision=None):
+               model_ft_ri=None, dft_precision=None, stats_dtype=None):
     """Build a FitSetup from time-domain portraits.
 
     errs: per-channel time-domain noise std (Fourier noise = errs*sqrt(nbin/2),
@@ -110,6 +110,10 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     path: XLA FFT compiles extremely slowly at large nbin; see ops.fourier).
     model_ft_ri: optional precomputed (mr, mi) from model_ft() — the shared-
     model batched path; model_port is ignored (may be None) when given.
+    stats_dtype: storage dtype for the loop-invariant spectra Gr/Gi/M2
+    ('bfloat16' halves the Newton loop's HBM traffic; moments accumulate
+    in f32 regardless).  bf16 storage costs ~1e-6 in deterministic phase
+    parity — an explicit opt-in, never the default (PERF.md).
     """
     data_port = jnp.asarray(data_port)
     nbin = data_port.shape[-1]
@@ -138,6 +142,11 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     M2 = mr * mr + mi * mi
     Sd = jnp.sum(w * jnp.sum(dr * dr + di * di, axis=-1))
     S0 = jnp.sum(M2, axis=-1)
+    if stats_dtype is not None:
+        sd = jnp.dtype(stats_dtype)
+        Gr = Gr.astype(sd)
+        Gi = Gi.astype(sd)
+        M2 = M2.astype(sd)
     dt = data_port.dtype
     return FitSetup(Gr=Gr, Gi=Gi, M2=M2, w=w,
                     freqs=jnp.asarray(freqs, dt),
@@ -221,6 +230,11 @@ def _moments(params, setup, log10_tau, order, scattering=True):
     Gr, Gi, M2, w = setup.Gr, setup.Gi, setup.M2, setup.w
     nharm = Gr.shape[-1]
     dtype = Gr.dtype
+    if dtype in (jnp.bfloat16, jnp.float16):
+        # half-precision is storage-only; harmonic indices and all
+        # accumulation stay f32 (k > 256 is not even representable in
+        # bf16)
+        dtype = jnp.float32
     k = jnp.arange(nharm, dtype=dtype)
 
     phis = phase_shifts(params[0], params[1], params[2], setup.freqs,

@@ -39,12 +39,12 @@ _LANES = 128
 
 def _chan_block(nchan, cap=256):
     """Channels per program: large blocks amortize grid overhead; small
-    portraits get one padded-to-sublane block.  cap bounds the scoped-
-    VMEM footprint (the 9-accumulator scattering kernel overflows the
-    16 MB scoped limit above 64 channels/program)."""
+    portraits get one padded-to-sublane block (16 covers the bf16 tile).
+    cap bounds the scoped-VMEM footprint (the 9-accumulator scattering
+    kernel overflows the 16 MB scoped limit above 64 channels/program)."""
     if nchan >= cap:
         return cap
-    return nchan + ((-nchan) % 8)
+    return nchan + ((-nchan) % 16)
 
 
 def _phase_kernel(phis_ref, gr_ref, gi_ref, out_ref):
@@ -60,6 +60,7 @@ def _phase_kernel(phis_ref, gr_ref, gi_ref, out_ref):
     p = phis[:, 0]
     nk = gr_ref.shape[-1]
     nq = nk // _LANES
+    f32 = jnp.float32
     # Mosaic requires integer iota results; cast to f32 afterwards.
     kr = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1).astype(
         jnp.float32)
@@ -71,8 +72,8 @@ def _phase_kernel(phis_ref, gr_ref, gi_ref, out_ref):
     accCp = jnp.zeros_like(cr)
     accCpp = jnp.zeros_like(cr)
     for q in range(nq):
-        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES]
-        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES]
+        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES].astype(f32)
+        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES].astype(f32)
         cqq = cq[:, q:q + 1]
         sqq = sq[:, q:q + 1]
         Pr = cqq * cr - sqq * sr
@@ -95,10 +96,12 @@ def _phase_moments_impl(phis, Gr, Gi, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     assert Gr.ndim == 2, "2-D (nchan, nharm) only; vmap for batches"
-    orig_dtype = Gr.dtype
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
     phis = phis.astype(jnp.float32)
-    Gr = Gr.astype(jnp.float32)
-    Gi = Gi.astype(jnp.float32)
+    if Gr.dtype not in half:     # half stays half: storage-only format
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
     nchan, nharm = Gr.shape
     nk = (nharm // _LANES) * _LANES
     if nk == 0:
@@ -165,7 +168,9 @@ def phase_moments(phis, Gr, Gi, interpret=None):
 def phase_moments_reference(phis, Gr, Gi):
     """Pure-jnp reference implementation (for tests and CPU)."""
     nharm = Gr.shape[-1]
-    k = jnp.arange(nharm, dtype=Gr.dtype)
+    kdt = jnp.float32 if Gr.dtype in (jnp.bfloat16, jnp.float16) \
+        else Gr.dtype
+    k = jnp.arange(nharm, dtype=kdt)
     c, s = _phase_trig(phis, k)
     zr = Gr * c - Gi * s
     zi = Gr * s + Gi * c
@@ -197,9 +202,9 @@ def _scat_kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
     crv, srv = _phase_trig(p, kr)
     acc = [jnp.zeros_like(crv) for _ in range(9)]
     for q in range(nq):
-        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES]
-        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES]
-        m2 = m2_ref[:, q * _LANES:(q + 1) * _LANES]
+        gr = gr_ref[:, q * _LANES:(q + 1) * _LANES].astype(jnp.float32)
+        gi = gi_ref[:, q * _LANES:(q + 1) * _LANES].astype(jnp.float32)
+        m2 = m2_ref[:, q * _LANES:(q + 1) * _LANES].astype(jnp.float32)
         cqq = cqv[:, q:q + 1]
         sqq = sqv[:, q:q + 1]
         Pr = cqq * crv - sqq * srv
@@ -307,12 +312,14 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     assert Gr.ndim == 2, "2-D (nchan, nharm) only; vmap for batches"
-    orig_dtype = Gr.dtype
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
     phis = phis.astype(jnp.float32)
     taus = taus.astype(jnp.float32)
-    Gr = Gr.astype(jnp.float32)
-    Gi = Gi.astype(jnp.float32)
-    M2 = M2.astype(jnp.float32)
+    if Gr.dtype not in half:     # half stays half: storage-only format
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
+        M2 = M2.astype(jnp.float32)
     nchan, nharm = Gr.shape
     nk = (nharm // _LANES) * _LANES
     if nk == 0:
