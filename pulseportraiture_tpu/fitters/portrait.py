@@ -341,18 +341,19 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     if weights is None:
         weights = jnp.ones_like(errs)
 
+    _nbin = data_ports.shape[-1]
+    _ct = _use_ct_setup(_nbin, fft_matmul) and model_ports.ndim == 2
     shared_mft = None
     if model_ports.ndim == 2:
-        # one DFT for the whole batch; M2/S0 materialize once under vmap
-        shared_mft = stats.model_ft(model_ports, fft_matmul=fft_matmul,
-                                    dft_precision=dft_precision)
+        # one DFT for the whole batch; M2/S0 materialize once under
+        # vmap.  On the CT path the model transform always runs at
+        # HIGHEST: it is amortized over the batch, and keeps the f32
+        # dDM parity inside the 1e-9 budget even at dft_precision=high.
+        shared_mft = stats.model_ft(
+            model_ports, fft_matmul=fft_matmul,
+            dft_precision="highest" if _ct else dft_precision)
 
-    def one(data, model, x0, P, fr, er, wt, nf):
-        setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
-                                 weights=wt, fft_matmul=fft_matmul,
-                                 model_ft_ri=shared_mft,
-                                 dft_precision=dft_precision,
-                                 stats_dtype=stats_dtype)
+    def _fit_one(setup, x0):
         res = newton.trust_region_minimize(
             lambda x: stats.chi2_value_grad_hess(x, setup,
                                                  fit_flags=fit_flags,
@@ -382,6 +383,54 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
             niter=res.niter, nfeval=res.nfev, return_code=res.status)
 
+    nbin = _nbin
+    if _ct:
+        # fused CT-DFT setup: one Pallas pass builds the CT-permuted
+        # Gr/Gi and the per-channel data power for the whole batch; the
+        # shared model/M2 are never materialized per item (ops/ct_dft.py)
+        import os
+
+        from pulseportraiture_tpu.config import F0_FACT
+        from pulseportraiture_tpu.ops.ct_dft import (ct_kvec, ct_setup,
+                                                     permute_spectrum)
+        prec_str = dft_precision if isinstance(dft_precision, str) else \
+            os.environ.get("PP_DFT_PRECISION", "highest")
+        mrp, mip = permute_spectrum(shared_mft[0], shared_mft[1], nbin)
+        Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
+                                f0_fact=bool(F0_FACT),
+                                dft_precision=prec_str)
+        M2 = mrp * mrp + mip * mip
+        S0 = jnp.sum(M2, axis=-1)
+        dt = data_ports.dtype
+        errs_FT = errs.astype(dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
+        w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
+        w = w * (weights > 0.0)
+        Sd = jnp.sum(w * sd, axis=-1)
+        kvec = jnp.asarray(ct_kvec(nbin), dt)
+        if stats_dtype is not None:
+            sdt = jnp.dtype(stats_dtype)
+            Grp = Grp.astype(sdt)
+            Gip = Gip.astype(sdt)
+            M2 = M2.astype(sdt)
+        setup_b = stats.FitSetup(
+            Gr=Grp, Gi=Gip, M2=M2, w=w, freqs=freqs.astype(dt),
+            P=Ps.astype(dt), nu_DM=nu_fits[:, 0].astype(dt),
+            nu_GM=nu_fits[:, 1].astype(dt),
+            nu_tau=nu_fits[:, 2].astype(dt), Sd=Sd.astype(dt), S0=S0,
+            nbin=int(nbin), kvec=kvec)
+        axes = stats.FitSetup(
+            Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0, nu_DM=0, nu_GM=0,
+            nu_tau=0, Sd=0, S0=None, nbin=None, kvec=None)
+        return jax.vmap(_fit_one, in_axes=(axes, 0))(setup_b, init_params)
+
+    def one(data, model, x0, P, fr, er, wt, nf):
+        setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],
+                                 weights=wt, fft_matmul=fft_matmul,
+                                 model_ft_ri=shared_mft,
+                                 dft_precision=dft_precision,
+                                 stats_dtype=stats_dtype)
+        return _fit_one(setup, x0)
+
     if shared_mft is not None:
         return jax.vmap(
             lambda d, x0, P, fr, er, wt, nf:
@@ -389,6 +438,18 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             data_ports, init_params, Ps, freqs, errs, weights, nu_fits)
     return jax.vmap(one)(data_ports, model_ports, init_params, Ps, freqs,
                          errs, weights, nu_fits)
+
+
+def _use_ct_setup(nbin, fft_matmul):
+    """Fused CT setup applies on TPU for nbin = NQ*128 unless
+    PP_CT_SETUP=0 (trace-time decision)."""
+    import os
+    if not fft_matmul:
+        return False
+    if os.environ.get("PP_CT_SETUP", "1") in ("0", "false", ""):
+        return False
+    from pulseportraiture_tpu.ops.ct_dft import ct_supported
+    return ct_supported(nbin) and jax.default_backend() == "tpu"
 
 
 def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau,

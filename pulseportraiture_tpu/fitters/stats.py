@@ -76,6 +76,10 @@ class FitSetup(NamedTuple):
                         # the current w at use time so masks stay live
     nbin: int = 0       # true time-domain bin count (2*(nharm-1) only
                         # recovers even nbin; needed for dof)
+    kvec: jnp.ndarray = None  # per-lane harmonic numbers when Gr/Gi/M2
+                        # are stored in the CT-permuted order of
+                        # ops.ct_dft (None = natural 0..nharm-1); every
+                        # harmonic reduction is order-free given kvec
 
 
 def model_ft(model_port, f0_fact=F0_FACT, fft_matmul=False,
@@ -235,7 +239,9 @@ def _moments(params, setup, log10_tau, order, scattering=True):
         # accumulation stay f32 (k > 256 is not even representable in
         # bf16)
         dtype = jnp.float32
-    k = jnp.arange(nharm, dtype=dtype)
+    kvec = getattr(setup, "kvec", None)
+    k = jnp.arange(nharm, dtype=dtype) if kvec is None else \
+        jnp.asarray(kvec, dtype)
 
     phis = phase_shifts(params[0], params[1], params[2], setup.freqs,
                         setup.nu_DM, setup.nu_GM, setup.P, mod=False)
@@ -254,7 +260,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
             # fused single-pass TPU kernel (ops/pallas_moments.py)
             from pulseportraiture_tpu.ops.pallas_moments import \
                 phase_moments
-            C, Cp, Cpp = phase_moments(phis, Gr, Gi)
+            C, Cp, Cpp = phase_moments(phis, Gr, Gi, kvec=kvec)
             phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM,
                                         setup.nu_GM, setup.P)
             out.update(C=w * C, Cp=w * Cp, Cpp=w * Cpp, phis_d=phis_d,
@@ -283,7 +289,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
         from pulseportraiture_tpu.ops.pallas_moments import \
             scattering_moments
         C, S, Cp, Rf, S1, Cpp, If1, Rg, S2 = scattering_moments(
-            phis, taus, Gr, Gi, M2)
+            phis, taus, Gr, Gi, M2, kvec=kvec)
         phis_d = phase_shifts_deriv(setup.freqs, setup.nu_DM,
                                     setup.nu_GM, setup.P)
         return {"phis": phis, "taus": taus, "dtau": dtau, "d2tau": d2tau,

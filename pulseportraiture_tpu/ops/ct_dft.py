@@ -1,0 +1,267 @@
+"""Fused Cooley-Tukey DFT + cross-spectrum setup kernel (Pallas TPU).
+
+The fit setup needs Gr/Gi = split-real d_FT * conj(m_FT) from the
+time-domain data.  The direct DFT-as-matmul costs 2*nbin*nharm MACs per
+channel on the MXU; this kernel factors nbin = NQ * 128 and computes
+
+  step 1 (VPU):  A[c,r,u] = sum_q x[c, 128 q + r] e^{-2 pi i q u / NQ}
+                 — NQ scalar-weighted accumulations of 128-lane slices
+  twiddle:       B = A * e^{-2 pi i r u / nbin}
+  step 2 (MXU):  X_{NQ m + u} = sum_r B[c,r,u] e^{-2 pi i r m / 128}
+                 — per-u (CBLK,128) @ (128, M) dots, M = nbin/(2 NQ)+1
+
+for ~8x fewer MACs at nbin=2048, and fuses the Gr/Gi construction
+(multiply by the model spectrum) and the |dFT|^2 data-power reduction
+into the same VMEM pass — the setup touches HBM exactly once per array.
+
+The outputs are stored in **CT-permuted harmonic order**: position
+p = u*M0 + m (M0 = 64) holds harmonic k = NQ*m + u, and the final
+position holds the Nyquist harmonic — NH == nbin/2 + 1, the same
+storage as natural order, just permuted.  Every downstream reduction
+(moments, Hessians, scales) is order-free given the per-lane k vector
+(`ct_kvec`); the Pallas moments kernels additionally exploit the
+64-lane-aligned block structure to keep the factored-phasor trig
+(e^{2 pi i phi k} = e^{2 pi i (NQ phi) m} * e^{2 pi i phi u}, trig on
+64 + NQ values per channel instead of nbin/2; NQ is a power of two so
+NQ*phi is exact in f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+
+
+def ct_supported(nbin: int) -> bool:
+    """CT layout applies when nbin = NQ * 128 with NQ even in [2, 32]
+    (even NQ keeps two 64-lane u-blocks per 128-lane vector, which the
+    moments kernels exploit for phasor factoring)."""
+    NQ = nbin // _LANES
+    return nbin % _LANES == 0 and 2 <= NQ <= 32 and NQ % 2 == 0
+
+
+def ct_geometry(nbin: int):
+    """(NQ, M0, NH): q-factor, per-u block size (always 64), stored
+    harmonics.  Layout: position p = u*M0 + m holds harmonic
+    k = NQ*m + u for p < NQ*M0; the final position NH-1 holds the
+    Nyquist harmonic k = nbin/2.  NH == nbin/2 + 1 — identical storage
+    to the natural order, just permuted."""
+    NQ = nbin // _LANES
+    M0 = nbin // 2 // NQ          # == 64
+    return NQ, M0, NQ * M0 + 1
+
+
+@functools.lru_cache(maxsize=8)
+def ct_perm_np(nbin: int):
+    """kvec: per-position harmonic number, length NH (a permutation of
+    0..nbin/2)."""
+    NQ, M0, NH = ct_geometry(nbin)
+    p = np.arange(NH - 1)
+    k = NQ * (p % M0) + p // M0
+    return np.concatenate([k, [nbin // 2]])
+
+
+def ct_kvec(nbin: int, dtype=np.float32):
+    """Per-position harmonic numbers as a float vector (NH,)."""
+    return ct_perm_np(nbin).astype(dtype)
+
+
+def permute_spectrum(re, im, nbin):
+    """Natural-order split spectrum (..., nharm) -> CT order (..., NH)
+    (one cheap gather at setup time)."""
+    src = ct_perm_np(nbin).astype(np.int64)
+    re = jnp.asarray(re)
+    im = jnp.asarray(im)
+    return re[..., src], im[..., src]
+
+
+def unpermute_spectrum(re_p, im_p, nbin):
+    """CT order (..., NH) -> natural order (..., nharm)."""
+    kvec = ct_perm_np(nbin)
+    pos = np.zeros(nbin // 2 + 1, dtype=np.int64)
+    pos[kvec] = np.arange(len(kvec))
+    return re_p[..., pos], im_p[..., pos]
+
+
+@functools.lru_cache(maxsize=8)
+def _ct_consts_np(nbin: int):
+    """Step-1 scalar weights, step-2 matrices, twiddles, and the
+    alternating Nyquist row (host)."""
+    NQ, M0, _ = ct_geometry(nbin)
+    q = np.arange(NQ)
+    u = np.arange(NQ)
+    E1c = np.cos(2.0 * np.pi * np.outer(q, u) / NQ)
+    E1s = np.sin(2.0 * np.pi * np.outer(q, u) / NQ)
+    r = np.arange(_LANES)
+    m = np.arange(M0)
+    C2 = np.cos(2.0 * np.pi * np.outer(r, m) / _LANES).astype(np.float32)
+    S2 = np.sin(2.0 * np.pi * np.outer(r, m) / _LANES).astype(np.float32)
+    TC = np.cos(2.0 * np.pi * np.outer(u, r) / nbin).astype(np.float32)
+    TS = np.sin(2.0 * np.pi * np.outer(u, r) / nbin).astype(np.float32)
+    ALT = ((-1.0) ** r).astype(np.float32)[None, :]      # (1, 128)
+    return E1c, E1s, C2, S2, TC, TS, ALT
+
+
+def _ct_setup_kernel_factory(nbin, f0_fact, prec):
+    NQ, M0, NH = ct_geometry(nbin)
+    E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
+
+    def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
+               alt_ref, gr_ref, gi_ref, sd_ref):
+        C2 = c2_ref[:]
+        S2 = s2_ref[:]
+        x = x_ref[0]                # (CBLK, nbin); batch dim in grid
+        sd_acc = jnp.zeros_like(x[:, :1])
+        ny = None
+        dc2 = None
+        for u in range(NQ):
+            # step 1: A = sum_q x_q e^{-2 pi i q u/NQ}; Ar/Ai via scalar
+            # weights (many are 0/±1 and fold away at trace time)
+            Ar = None
+            Ai = None
+            for q in range(NQ):
+                c = float(E1c[q, u])
+                s = float(E1s[q, u])
+                xq = x[:, q * _LANES:(q + 1) * _LANES]
+                if abs(c) > 1e-12:
+                    t = xq if c == 1.0 else (-xq if c == -1.0 else c * xq)
+                    Ar = t if Ar is None else Ar + t
+                if abs(s) > 1e-12:
+                    t = xq if s == 1.0 else (-xq if s == -1.0 else s * xq)
+                    Ai = t if Ai is None else Ai + t
+            if u == 0:
+                # Nyquist harmonic: sum_j (-1)^j x_j = sum_r (-1)^r A0_r
+                ny = jnp.sum(Ar * alt_ref[:], axis=-1, keepdims=True)
+            # A = Ar - i*Ai  (Ai accumulated with +sin weights)
+            tc = tc_ref[u:u + 1, :]
+            ts = ts_ref[u:u + 1, :]
+            if Ai is None:
+                Br = Ar * tc
+                Bi = -(Ar * ts)
+            else:
+                # (Ar - i Ai)(tc - i ts)
+                Br = Ar * tc - Ai * ts
+                Bi = -(Ar * ts + Ai * tc)
+            # step 2: X = sum_r (Br + i Bi) e^{-2 pi i r m/128}
+            Xr = jnp.dot(Br, C2, precision=prec,
+                         preferred_element_type=jnp.float32) + \
+                jnp.dot(Bi, S2, precision=prec,
+                        preferred_element_type=jnp.float32)
+            Xi = jnp.dot(Bi, C2, precision=prec,
+                         preferred_element_type=jnp.float32) - \
+                jnp.dot(Br, S2, precision=prec,
+                        preferred_element_type=jnp.float32)
+            if u == 0 and not f0_fact:
+                dc2 = Xr[:, :1] * Xr[:, :1] + Xi[:, :1] * Xi[:, :1]
+            mr = mr_ref[:, u * M0:(u + 1) * M0]
+            mi = mi_ref[:, u * M0:(u + 1) * M0]
+            gr_ref[0, :, u * M0:(u + 1) * M0] = Xr * mr + Xi * mi
+            gi_ref[0, :, u * M0:(u + 1) * M0] = Xi * mr - Xr * mi
+            sd_acc = sd_acc + jnp.sum(Xr * Xr + Xi * Xi, axis=-1,
+                                      keepdims=True)
+        # Nyquist position (real-valued harmonic nbin/2)
+        mr_n = mr_ref[:, NH - 1:NH]
+        mi_n = mi_ref[:, NH - 1:NH]
+        gr_ref[0, :, NH - 1:NH] = ny * mr_n
+        gi_ref[0, :, NH - 1:NH] = -(ny * mi_n)
+        sd_acc = sd_acc + ny * ny
+        if not f0_fact:
+            # DC harmonic zeroed (position 0 is u=0, m=0)
+            zero = jnp.zeros_like(ny)
+            gr_ref[0, :, 0:1] = zero
+            gi_ref[0, :, 0:1] = zero
+            sd_acc = sd_acc - dc2
+        sd_ref[0] = sd_acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("f0_fact", "dft_precision",
+                                             "interpret"))
+def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
+             interpret=False):
+    """Fused CT-DFT + cross-spectrum: (Gr_p, Gi_p, sd) in CT order.
+
+    x: (nchan, nbin) or batched (B, nchan, nbin) real data; mr_p/mi_p:
+    the (nchan, NH) model spectrum already in CT order
+    (permute_spectrum) — shared across the batch without
+    materialization (its block index map ignores the batch grid axis).
+    sd: per-channel sum_k |dFT_k|^2 (valid harmonics; DC excluded when
+    f0_fact is falsy).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, nchan, nbin = x.shape
+    assert ct_supported(nbin)
+    assert mr_p.ndim == 2, "model spectrum is (nchan, NH), shared"
+    NQ, M0, NH = ct_geometry(nbin)
+    # Mosaic dots support only DEFAULT and HIGHEST; HIGH maps to
+    # HIGHEST (the in-kernel matmuls are ~8x smaller than the direct
+    # DFT, so the extra passes cost little)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[
+        (dft_precision or "highest").lower()]
+    _, _, C2np, S2np, TCnp, TSnp, ALTnp = _ct_consts_np(nbin)
+    x = x.astype(jnp.float32)
+    mr_p = mr_p.astype(jnp.float32)
+    mi_p = mi_p.astype(jnp.float32)
+
+    cblk = 128 if nchan >= 128 else nchan + ((-nchan) % 8)
+    pad = (-nchan) % cblk
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+        mr_p = jnp.pad(mr_p, [(0, pad), (0, 0)])
+        mi_p = jnp.pad(mi_p, [(0, pad), (0, 0)])
+    ntot = nchan + pad
+    grid = (B, ntot // cblk)
+    kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec)
+    out = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x, mr_p, mi_p, jnp.asarray(C2np), jnp.asarray(S2np),
+      jnp.asarray(TCnp), jnp.asarray(TSnp), jnp.asarray(ALTnp))
+    Gr_p, Gi_p, sd = out
+    Gr_p = Gr_p[:, :nchan]
+    Gi_p = Gi_p[:, :nchan]
+    sd = sd[:, :nchan, 0]
+    if squeeze:
+        return Gr_p[0], Gi_p[0], sd[0]
+    return Gr_p, Gi_p, sd

@@ -90,6 +90,230 @@ def _phase_kernel(phis_ref, gr_ref, gi_ref, out_ref):
     out_ref[:] = jnp.stack([C, Cp, Cpp], axis=-1)
 
 
+def _phase_kernel_kvec(phis_ref, k_ref, gr_ref, gi_ref, out_ref):
+    """Moments with an arbitrary per-lane harmonic vector (the CT-
+    permuted layout from ops.ct_dft): per-element double-single trig
+    (hi*k stays exact: hi <= 2^12/8192, k <= 2^11), with the same
+    128-lane blocked accumulation as the natural-order kernel (one
+    cross-lane reduce at the end, not per row)."""
+    phis = phis_ref[:]
+    p = phis[:, 0]
+    nk = gr_ref.shape[-1]
+    nq = nk // _LANES
+    accC = None
+    accCp = None
+    accCpp = None
+    for q in range(nq):
+        sl = slice(q * _LANES, (q + 1) * _LANES)
+        kq = k_ref[:, sl]                   # (1, 128)
+        c, s = _phase_trig(p, kq)           # (CBLK, 128)
+        gr = gr_ref[:, sl].astype(jnp.float32)
+        gi = gi_ref[:, sl].astype(jnp.float32)
+        zr = gr * c - gi * s
+        zi = gr * s + gi * c
+        accC = zr if accC is None else accC + zr
+        t = kq * zi
+        accCp = t if accCp is None else accCp + t
+        t2 = (kq * kq) * zr
+        accCpp = t2 if accCpp is None else accCpp + t2
+    C = jnp.sum(accC, axis=-1)
+    Cp = (-TWO_PI) * jnp.sum(accCp, axis=-1)
+    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(accCpp, axis=-1)
+    out_ref[:] = jnp.stack([C, Cp, Cpp], axis=-1)
+
+
+def _make_phase_kernel_ct(NQ):
+    """Factored-phasor moments kernel for the CT layout of ops.ct_dft:
+    position p = u*64 + m holds k = NQ*m + u; each 128-lane group is
+    two 64-lane u-blocks, so e^{2 pi i phi k} factors into a 64-lane
+    m-pattern (shared by all groups; NQ*phi is exact, NQ a power of 2)
+    times one scalar u-phasor per half."""
+
+    def kernel(phis_ref, gr_ref, gi_ref, out_ref):
+        phis = phis_ref[:]
+        p = phis[:, 0]
+        nk = gr_ref.shape[-1]
+        ngroups = nk // _LANES
+        m64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1).astype(
+            jnp.float32)
+        cm, sm = _phase_trig(jnp.float32(NQ) * p, m64)    # (CBLK, 64)
+        cmt = jnp.concatenate([cm, cm], axis=-1)          # (CBLK, 128)
+        smt = jnp.concatenate([sm, sm], axis=-1)
+        ku = jax.lax.broadcasted_iota(jnp.int32, (1, NQ), 1).astype(
+            jnp.float32)
+        cu, su = _phase_trig(p, ku)                       # (CBLK, NQ)
+        km = jnp.float32(NQ) * m64                        # (1, 64)
+        cb = cm.shape[0]
+        accC = None
+        accCp = None
+        accCpp = None
+        for g in range(ngroups):
+            u0, u1 = 2 * g, 2 * g + 1
+            cuv = jnp.concatenate(
+                [jnp.broadcast_to(cu[:, u0:u0 + 1], (cb, 64)),
+                 jnp.broadcast_to(cu[:, u1:u1 + 1], (cb, 64))], axis=-1)
+            suv = jnp.concatenate(
+                [jnp.broadcast_to(su[:, u0:u0 + 1], (cb, 64)),
+                 jnp.broadcast_to(su[:, u1:u1 + 1], (cb, 64))], axis=-1)
+            Pr = cmt * cuv - smt * suv
+            Pi = cmt * suv + smt * cuv
+            w1 = jnp.concatenate([km + jnp.float32(u0),
+                                  km + jnp.float32(u1)], axis=-1)
+            sl = slice(g * _LANES, (g + 1) * _LANES)
+            gr = gr_ref[:, sl].astype(jnp.float32)
+            gi = gi_ref[:, sl].astype(jnp.float32)
+            zr = gr * Pr - gi * Pi
+            zi = gr * Pi + gi * Pr
+            accC = zr if accC is None else accC + zr
+            t = w1 * zi
+            accCp = t if accCp is None else accCp + t
+            t2 = (w1 * w1) * zr
+            accCpp = t2 if accCpp is None else accCpp + t2
+        C = jnp.sum(accC, axis=-1)
+        Cp = (-TWO_PI) * jnp.sum(accCp, axis=-1)
+        Cpp = (-TWO_PI * TWO_PI) * jnp.sum(accCpp, axis=-1)
+        out_ref[:] = jnp.stack([C, Cp, Cpp], axis=-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ct_nbin", "interpret"))
+def _phase_moments_ct_impl(phis, kvec, Gr, Gi, ct_nbin, interpret=False):
+    """Moments over the CT-permuted layout: the kernel handles the
+    NQ*64 block-structured lanes; the trailing Nyquist position (plus
+    anything beyond a 128 multiple) is added in XLA via kvec."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NQ = ct_nbin // _LANES
+    assert Gr.ndim == 2
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
+    phis = phis.astype(jnp.float32)
+    if Gr.dtype not in half:
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
+    nchan, nharm = Gr.shape
+    nk = (nharm // _LANES) * _LANES       # == NQ*64 (Nyquist in tail)
+    cblk = _chan_block(nchan)
+    pad = (-nchan) % cblk
+    if pad:
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
+    ntot = nchan + pad
+    grid = (ntot // cblk,)
+    out = pl.pallas_call(
+        _make_phase_kernel_ct(NQ),
+        out_shape=jax.ShapeDtypeStruct((ntot, 3), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((cblk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cblk, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phis[..., None], Gr, Gi)
+    out = out[:nchan, :]
+    C, Cp, Cpp = out[..., 0], out[..., 1], out[..., 2]
+    if nharm > nk:
+        phis_n = phis[:nchan]
+        k_t = jnp.asarray(kvec[nk:], jnp.float32)
+        c, s = _phase_trig(phis_n, k_t)
+        gr_t = Gr[:nchan, nk:]
+        gi_t = Gi[:nchan, nk:]
+        zr = gr_t * c - gi_t * s
+        zi = gr_t * s + gi_t * c
+        C = C + jnp.sum(zr, axis=-1)
+        Cp = Cp + (-TWO_PI) * jnp.sum(k_t * zi, axis=-1)
+        Cpp = Cpp + (-TWO_PI * TWO_PI) * jnp.sum(k_t * k_t * zr, axis=-1)
+    return (C.astype(orig_dtype), Cp.astype(orig_dtype),
+            Cpp.astype(orig_dtype))
+
+
+def _ct_layout_nbin(kvec, nharm):
+    """Static nbin when kvec matches the ct_dft layout, else None."""
+    import numpy as np
+
+    from pulseportraiture_tpu.ops.ct_dft import ct_kvec, ct_supported
+    if kvec is None or isinstance(kvec, jax.core.Tracer):
+        return None
+    nbin = 2 * (nharm - 1)
+    if not ct_supported(nbin):
+        return None
+    ref = ct_kvec(nbin)
+    kv = np.asarray(kvec)
+    if kv.shape == ref.shape and np.array_equal(kv, ref):
+        return nbin
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _phase_moments_kvec_impl(phis, kvec, Gr, Gi, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert Gr.ndim == 2
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
+    phis = phis.astype(jnp.float32)
+    kvec = kvec.astype(jnp.float32)
+    if Gr.dtype not in half:
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
+    nchan, nharm = Gr.shape
+    nk = (nharm // _LANES) * _LANES
+    if nk == 0:
+        out = phase_moments_reference(phis, Gr, Gi, kvec=kvec)
+        return tuple(o.astype(orig_dtype) for o in out)
+    cblk = _chan_block(nchan)
+    pad = (-nchan) % cblk
+    if pad:
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
+    ntot = nchan + pad
+    grid = (ntot // cblk,)
+    out = pl.pallas_call(
+        _phase_kernel_kvec,
+        out_shape=jax.ShapeDtypeStruct((ntot, 3), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((cblk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cblk, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phis[..., None], kvec[None, :], Gr, Gi)
+    out = out[:nchan, :]
+    C, Cp, Cpp = out[..., 0], out[..., 1], out[..., 2]
+    if nharm > nk:
+        phis_n = phis[:nchan]
+        k_t = kvec[nk:]
+        c, s = _phase_trig(phis_n, k_t)
+        gr_t = Gr[:nchan, nk:]
+        gi_t = Gi[:nchan, nk:]
+        zr = gr_t * c - gi_t * s
+        zi = gr_t * s + gi_t * c
+        C = C + jnp.sum(zr, axis=-1)
+        Cp = Cp + (-TWO_PI) * jnp.sum(k_t * zi, axis=-1)
+        Cpp = Cpp + (-TWO_PI * TWO_PI) * jnp.sum(k_t * k_t * zr, axis=-1)
+    return (C.astype(orig_dtype), Cp.astype(orig_dtype),
+            Cpp.astype(orig_dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _phase_moments_impl(phis, Gr, Gi, interpret=False):
     from jax.experimental import pallas as pl
@@ -153,24 +377,35 @@ def _phase_moments_impl(phis, Gr, Gi, interpret=False):
             Cpp.astype(orig_dtype))
 
 
-def phase_moments(phis, Gr, Gi, interpret=None):
+def phase_moments(phis, Gr, Gi, interpret=None, kvec=None):
     """(C, Cp, Cpp) each (..., nchan) from phis (..., nchan) and
     Gr/Gi (..., nchan, nharm) float32.
 
+    kvec: optional per-lane harmonic numbers (nharm,) for permuted
+    layouts (ops.ct_dft); None means natural order 0..nharm-1.
     interpret=None auto-selects the Pallas interpreter off-TPU so the
     kernel stays runnable (slowly) on CPU.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if kvec is not None:
+        ct_nbin = _ct_layout_nbin(kvec, Gr.shape[-1])
+        if ct_nbin:
+            return _phase_moments_ct_impl(phis, kvec, Gr, Gi,
+                                          ct_nbin=ct_nbin,
+                                          interpret=interpret)
+        return _phase_moments_kvec_impl(phis, kvec, Gr, Gi,
+                                        interpret=interpret)
     return _phase_moments_impl(phis, Gr, Gi, interpret=interpret)
 
 
-def phase_moments_reference(phis, Gr, Gi):
+def phase_moments_reference(phis, Gr, Gi, kvec=None):
     """Pure-jnp reference implementation (for tests and CPU)."""
     nharm = Gr.shape[-1]
     kdt = jnp.float32 if Gr.dtype in (jnp.bfloat16, jnp.float16) \
         else Gr.dtype
-    k = jnp.arange(nharm, dtype=kdt)
+    k = jnp.arange(nharm, dtype=kdt) if kvec is None else \
+        jnp.asarray(kvec, kdt)
     c, s = _phase_trig(phis, k)
     zr = Gr * c - Gi * s
     zi = Gr * s + Gi * c
@@ -306,6 +541,261 @@ def _scat_terms_ref(phis, taus, Gr, Gi, M2, k):
     return C, S, Cp, Rf, S1, Cpp, If1, Rg, S2
 
 
+def _make_scat_kernel_ct(NQ):
+    """Scattering moments for the CT layout (factored phasor; see
+    _make_phase_kernel_ct)."""
+
+    def kernel(phis_ref, taus_ref, gr_ref, gi_ref, m2_ref, out_ref):
+        phis = phis_ref[:]
+        taus = taus_ref[:]
+        p = phis[:, 0]
+        nk = gr_ref.shape[-1]
+        ngroups = nk // _LANES
+        m64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1).astype(
+            jnp.float32)
+        cm, sm = _phase_trig(jnp.float32(NQ) * p, m64)
+        cmt = jnp.concatenate([cm, cm], axis=-1)
+        smt = jnp.concatenate([sm, sm], axis=-1)
+        ku = jax.lax.broadcasted_iota(jnp.int32, (1, NQ), 1).astype(
+            jnp.float32)
+        cu, su = _phase_trig(p, ku)
+        km = jnp.float32(NQ) * m64
+        cb = cm.shape[0]
+        acc = [None] * 9
+        for g in range(ngroups):
+            u0, u1 = 2 * g, 2 * g + 1
+            cuv = jnp.concatenate(
+                [jnp.broadcast_to(cu[:, u0:u0 + 1], (cb, 64)),
+                 jnp.broadcast_to(cu[:, u1:u1 + 1], (cb, 64))], axis=-1)
+            suv = jnp.concatenate(
+                [jnp.broadcast_to(su[:, u0:u0 + 1], (cb, 64)),
+                 jnp.broadcast_to(su[:, u1:u1 + 1], (cb, 64))], axis=-1)
+            Pr = cmt * cuv - smt * suv
+            Pi = cmt * suv + smt * cuv
+            k = jnp.concatenate([km + jnp.float32(u0),
+                                 km + jnp.float32(u1)], axis=-1)
+            sl = slice(g * _LANES, (g + 1) * _LANES)
+            gr = gr_ref[:, sl].astype(jnp.float32)
+            gi = gi_ref[:, sl].astype(jnp.float32)
+            m2 = m2_ref[:, sl].astype(jnp.float32)
+
+            ct = TWO_PI * k * taus
+            Bden = 1.0 + ct * ct
+            Br = 1.0 / Bden
+            Bi = -ct / Bden
+            Ar = gr * Br + gi * Bi
+            Ai = gi * Br - gr * Bi
+            zr = Ar * Pr - Ai * Pi
+            zi = Ar * Pi + Ai * Pr
+            B2 = Br * Br + Bi * Bi
+
+            cb2r = Br * Br - Bi * Bi
+            cb2i = -2.0 * Br * Bi
+            cfr = TWO_PI * k * (-cb2i)
+            cfi = TWO_PI * k * cb2r
+            GPr = gr * Pr - gi * Pi
+            GPi = gr * Pi + gi * Pr
+            zfr = GPr * cfr - GPi * cfi
+            zfi = GPr * cfi + GPi * cfr
+            u1t = 2.0 * (Br * cfr - Bi * cfi)
+
+            cb3r = cb2r * Br + cb2i * Bi
+            cb3i = -cb2r * Bi + cb2i * Br
+            w2k2 = -(TWO_PI ** 2) * 2.0 * k * k
+            cgr = w2k2 * cb3r
+            cgi = w2k2 * cb3i
+            zgr = GPr * cgr - GPi * cgi
+            f2 = cfr * cfr + cfi * cfi
+            u2 = 2.0 * (f2 + (Br * cgr - Bi * cgi))
+
+            terms = [zr, B2 * m2, k * zi, zfr, u1t * m2, (k * k) * zr,
+                     k * zfi, zgr, u2 * m2]
+            acc = [t if a is None else a + t for a, t in zip(acc, terms)]
+        C = jnp.sum(acc[0], axis=-1)
+        S = jnp.sum(acc[1], axis=-1)
+        Cp = (-TWO_PI) * jnp.sum(acc[2], axis=-1)
+        Rf = jnp.sum(acc[3], axis=-1)
+        S1 = jnp.sum(acc[4], axis=-1)
+        Cpp = (-TWO_PI * TWO_PI) * jnp.sum(acc[5], axis=-1)
+        If1 = (-TWO_PI) * jnp.sum(acc[6], axis=-1)
+        Rg = jnp.sum(acc[7], axis=-1)
+        S2 = jnp.sum(acc[8], axis=-1)
+        out_ref[:] = jnp.stack([C, S, Cp, Rf, S1, Cpp, If1, Rg, S2],
+                               axis=-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ct_nbin", "interpret"))
+def _scattering_moments_ct_impl(phis, taus, kvec, Gr, Gi, M2, ct_nbin,
+                                interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NQ = ct_nbin // _LANES
+    assert Gr.ndim == 2
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
+    phis = phis.astype(jnp.float32)
+    taus = taus.astype(jnp.float32)
+    if Gr.dtype not in half:
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
+        M2 = M2.astype(jnp.float32)
+    nchan, nharm = Gr.shape
+    nk = (nharm // _LANES) * _LANES
+    cblk = _chan_block(nchan, cap=64)
+    pad = (-nchan) % cblk
+    if pad:
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        M2 = jnp.pad(M2, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
+        taus = jnp.pad(taus, [(0, pad)])
+    ntot = nchan + pad
+    grid = (ntot // cblk,)
+    spec1 = pl.BlockSpec((cblk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    specH = pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_scat_kernel_ct(NQ),
+        out_shape=jax.ShapeDtypeStruct((ntot, 9), jnp.float32),
+        grid=grid,
+        in_specs=[spec1, spec1, specH, specH, specH],
+        out_specs=pl.BlockSpec((cblk, 9), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phis[..., None], taus[..., None], Gr, Gi, M2)
+    out = out[:nchan, :]
+    outs = [out[..., j] for j in range(9)]
+    if nharm > nk:
+        k_t = jnp.asarray(kvec[nk:], jnp.float32)
+        tail = _scat_terms_ref(phis[:nchan], taus[:nchan], Gr[:nchan, nk:],
+                               Gi[:nchan, nk:], M2[:nchan, nk:], k_t)
+        outs = [a + b for a, b in zip(outs, tail)]
+    return tuple(o.astype(orig_dtype) for o in outs)
+
+
+def _scat_kernel_kvec(phis_ref, taus_ref, k_ref, gr_ref, gi_ref, m2_ref,
+                      out_ref):
+    """Scattering moments with an arbitrary per-lane harmonic vector,
+    blocked like _scat_kernel (one cross-lane reduce at the end)."""
+    phis = phis_ref[:]
+    taus = taus_ref[:]
+    p = phis[:, 0]
+    nk = gr_ref.shape[-1]
+    nq = nk // _LANES
+    acc = [None] * 9
+    for q in range(nq):
+        sl = slice(q * _LANES, (q + 1) * _LANES)
+        k = k_ref[:, sl]                    # (1, 128)
+        gr = gr_ref[:, sl].astype(jnp.float32)
+        gi = gi_ref[:, sl].astype(jnp.float32)
+        m2 = m2_ref[:, sl].astype(jnp.float32)
+        Pr, Pi = _phase_trig(p, k)
+
+        ct = TWO_PI * k * taus
+        Bden = 1.0 + ct * ct
+        Br = 1.0 / Bden
+        Bi = -ct / Bden
+        Ar = gr * Br + gi * Bi
+        Ai = gi * Br - gr * Bi
+        zr = Ar * Pr - Ai * Pi
+        zi = Ar * Pi + Ai * Pr
+        B2 = Br * Br + Bi * Bi
+
+        cb2r = Br * Br - Bi * Bi
+        cb2i = -2.0 * Br * Bi
+        cfr = TWO_PI * k * (-cb2i)
+        cfi = TWO_PI * k * cb2r
+        GPr = gr * Pr - gi * Pi
+        GPi = gr * Pi + gi * Pr
+        zfr = GPr * cfr - GPi * cfi
+        zfi = GPr * cfi + GPi * cfr
+        u1 = 2.0 * (Br * cfr - Bi * cfi)
+
+        cb3r = cb2r * Br + cb2i * Bi
+        cb3i = -cb2r * Bi + cb2i * Br
+        w2k2 = -(TWO_PI ** 2) * 2.0 * k * k
+        cgr = w2k2 * cb3r
+        cgi = w2k2 * cb3i
+        zgr = GPr * cgr - GPi * cgi
+        f2 = cfr * cfr + cfi * cfi
+        u2 = 2.0 * (f2 + (Br * cgr - Bi * cgi))
+
+        terms = [zr, B2 * m2, k * zi, zfr, u1 * m2, (k * k) * zr,
+                 k * zfi, zgr, u2 * m2]
+        acc = [t if a is None else a + t for a, t in zip(acc, terms)]
+    C = jnp.sum(acc[0], axis=-1)
+    S = jnp.sum(acc[1], axis=-1)
+    Cp = (-TWO_PI) * jnp.sum(acc[2], axis=-1)
+    Rf = jnp.sum(acc[3], axis=-1)
+    S1 = jnp.sum(acc[4], axis=-1)
+    Cpp = (-TWO_PI * TWO_PI) * jnp.sum(acc[5], axis=-1)
+    If1 = (-TWO_PI) * jnp.sum(acc[6], axis=-1)
+    Rg = jnp.sum(acc[7], axis=-1)
+    S2 = jnp.sum(acc[8], axis=-1)
+    out_ref[:] = jnp.stack([C, S, Cp, Rf, S1, Cpp, If1, Rg, S2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scattering_moments_kvec_impl(phis, taus, kvec, Gr, Gi, M2,
+                                  interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert Gr.ndim == 2
+    half = (jnp.bfloat16, jnp.float16)
+    orig_dtype = jnp.float32 if Gr.dtype in half else Gr.dtype
+    phis = phis.astype(jnp.float32)
+    taus = taus.astype(jnp.float32)
+    kvec = kvec.astype(jnp.float32)
+    if Gr.dtype not in half:
+        Gr = Gr.astype(jnp.float32)
+        Gi = Gi.astype(jnp.float32)
+        M2 = M2.astype(jnp.float32)
+    nchan, nharm = Gr.shape
+    nk = (nharm // _LANES) * _LANES
+    if nk == 0:
+        out = _scat_terms_ref(phis, taus, Gr, Gi, M2,
+                              jnp.asarray(kvec, jnp.float32))
+        return tuple(o.astype(orig_dtype) for o in out)
+    cblk = _chan_block(nchan, cap=32)
+    pad = (-nchan) % cblk
+    if pad:
+        Gr = jnp.pad(Gr, [(0, pad), (0, 0)])
+        Gi = jnp.pad(Gi, [(0, pad), (0, 0)])
+        M2 = jnp.pad(M2, [(0, pad), (0, 0)])
+        phis = jnp.pad(phis, [(0, pad)])
+        taus = jnp.pad(taus, [(0, pad)])
+    ntot = nchan + pad
+    grid = (ntot // cblk,)
+    spec1 = pl.BlockSpec((cblk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    specH = pl.BlockSpec((cblk, nk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    speck = pl.BlockSpec((1, nk), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _scat_kernel_kvec,
+        out_shape=jax.ShapeDtypeStruct((ntot, 9), jnp.float32),
+        grid=grid,
+        in_specs=[spec1, spec1, speck, specH, specH, specH],
+        out_specs=pl.BlockSpec((cblk, 9), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(phis[..., None], taus[..., None], kvec[None, :], Gr, Gi, M2)
+    out = out[:nchan, :]
+    outs = [out[..., j] for j in range(9)]
+    if nharm > nk:
+        k_t = jnp.asarray(kvec[nk:], jnp.float32)
+        tail = _scat_terms_ref(phis[:nchan], taus[:nchan], Gr[:nchan, nk:],
+                               Gi[:nchan, nk:], M2[:nchan, nk:], k_t)
+        outs = [a + b for a, b in zip(outs, tail)]
+    return tuple(o.astype(orig_dtype) for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
     from jax.experimental import pallas as pl
@@ -359,9 +849,17 @@ def _scattering_moments_impl(phis, taus, Gr, Gi, M2, interpret=False):
     return tuple(o.astype(orig_dtype) for o in outs)
 
 
-def scattering_moments(phis, taus, Gr, Gi, M2, interpret=None):
+def scattering_moments(phis, taus, Gr, Gi, M2, interpret=None, kvec=None):
     """(C, S, Cp, Rf, S1, Cpp, If1, Rg, S2), each (..., nchan)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if kvec is not None:
+        ct_nbin = _ct_layout_nbin(kvec, Gr.shape[-1])
+        if ct_nbin:
+            return _scattering_moments_ct_impl(phis, taus, kvec, Gr, Gi,
+                                               M2, ct_nbin=ct_nbin,
+                                               interpret=interpret)
+        return _scattering_moments_kvec_impl(phis, taus, kvec, Gr, Gi, M2,
+                                             interpret=interpret)
     return _scattering_moments_impl(phis, taus, Gr, Gi, M2,
                                     interpret=interpret)

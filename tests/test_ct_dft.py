@@ -1,0 +1,126 @@
+"""Fused CT-DFT setup kernel (ops/ct_dft.py) and the permuted-layout
+moments path: numerics vs numpy, batched grid, kvec moments."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pulseportraiture_tpu.ops.ct_dft import (ct_geometry, ct_kvec,
+                                             ct_setup, ct_supported,
+                                             permute_spectrum,
+                                             unpermute_spectrum)
+
+
+@pytest.mark.parametrize("nbin", [256, 1024, 2048])
+def test_ct_setup_matches_numpy(nbin):
+    rng = np.random.default_rng(0)
+    nchan = 16
+    x = rng.normal(0, 1, (nchan, nbin)).astype(np.float32)
+    m = rng.normal(0, 1, (nchan, nbin)).astype(np.float32)
+    mfft = np.fft.rfft(m, axis=-1)
+    mr = mfft.real.astype(np.float32)
+    mi = mfft.imag.astype(np.float32)
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin)
+    Grp, Gip, sd = ct_setup(jnp.asarray(x), mrp, mip, f0_fact=False,
+                            interpret=True)
+    dfft = np.fft.rfft(x, axis=-1)
+    dfft[:, 0] = 0.0
+    G = dfft * np.conj(mfft)
+    Grn, Gin = unpermute_spectrum(np.asarray(Grp), np.asarray(Gip), nbin)
+    scale = np.abs(G).max()
+    assert np.abs(Grn - G.real).max() / scale < 2e-6
+    assert np.abs(Gin - G.imag).max() / scale < 2e-6
+    sd_ref = (np.abs(dfft) ** 2).sum(-1)
+    assert np.abs(np.asarray(sd) - sd_ref).max() / sd_ref.max() < 2e-6
+
+
+def test_ct_setup_batched_shares_model(nbin=512):
+    rng = np.random.default_rng(1)
+    B, nchan = 3, 8
+    x = rng.normal(0, 1, (B, nchan, nbin)).astype(np.float32)
+    m = rng.normal(0, 1, (nchan, nbin)).astype(np.float32)
+    mfft = np.fft.rfft(m, axis=-1)
+    mrp, mip = permute_spectrum(jnp.asarray(mfft.real.astype(np.float32)),
+                                jnp.asarray(mfft.imag.astype(np.float32)),
+                                nbin)
+    Grb, Gib, sdb = ct_setup(jnp.asarray(x), mrp, mip, f0_fact=False,
+                             interpret=True)
+    for b in range(B):
+        Gr1, Gi1, sd1 = ct_setup(jnp.asarray(x[b]), mrp, mip,
+                                 f0_fact=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(Grb[b]), np.asarray(Gr1),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(sdb[b]), np.asarray(sd1),
+                                   rtol=0, atol=0)
+
+
+def test_kvec_moments_match_natural_order(nbin=512):
+    from pulseportraiture_tpu.ops.pallas_moments import (
+        phase_moments, phase_moments_reference)
+
+    rng = np.random.default_rng(2)
+    nchan = 8
+    nharm = nbin // 2 + 1
+    NQ, M, NH = ct_geometry(nbin)
+    Gr = rng.normal(0, 1, (nchan, nharm)).astype(np.float32)
+    Gi = rng.normal(0, 1, (nchan, nharm)).astype(np.float32)
+    phis = rng.uniform(-0.4, 0.4, nchan).astype(np.float32)
+    C0, Cp0, Cpp0 = phase_moments_reference(
+        jnp.asarray(phis), jnp.asarray(Gr), jnp.asarray(Gi))
+    Grp, Gip = permute_spectrum(jnp.asarray(Gr), jnp.asarray(Gi), nbin)
+    kv = jnp.asarray(ct_kvec(nbin))
+    # jnp reference with kvec
+    C1, Cp1, Cpp1 = phase_moments_reference(jnp.asarray(phis), Grp, Gip,
+                                            kvec=kv)
+    np.testing.assert_allclose(np.asarray(C1), np.asarray(C0),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Cpp1), np.asarray(Cpp0),
+                               rtol=2e-5, atol=1e-2)
+    # Pallas kvec kernel (interpret)
+    C2, Cp2, Cpp2 = phase_moments(jnp.asarray(phis), Grp, Gip,
+                                  interpret=True, kvec=kv)
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(C0),
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Cp2), np.asarray(Cp0),
+                               rtol=2e-4, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(Cpp2), np.asarray(Cpp0),
+                               rtol=2e-4, atol=1e-1)
+
+
+def test_kvec_scattering_moments_match(nbin=256):
+    from pulseportraiture_tpu.ops.pallas_moments import (
+        _scat_terms_ref, scattering_moments)
+
+    rng = np.random.default_rng(3)
+    nchan = 8
+    nharm = nbin // 2 + 1
+    Gr = rng.normal(0, 1, (nchan, nharm)).astype(np.float32)
+    Gi = rng.normal(0, 1, (nchan, nharm)).astype(np.float32)
+    M2 = rng.uniform(0.5, 1.0, (nchan, nharm)).astype(np.float32)
+    phis = rng.uniform(-0.4, 0.4, nchan).astype(np.float32)
+    taus = rng.uniform(0, 2e-3, nchan).astype(np.float32)
+    k = jnp.arange(nharm, dtype=jnp.float32)
+    ref = _scat_terms_ref(jnp.asarray(phis), jnp.asarray(taus),
+                          jnp.asarray(Gr), jnp.asarray(Gi),
+                          jnp.asarray(M2), k)
+    Grp, Gip = permute_spectrum(jnp.asarray(Gr), jnp.asarray(Gi), nbin)
+    M2p, _ = permute_spectrum(jnp.asarray(M2), jnp.asarray(M2), nbin)
+    kv = jnp.asarray(ct_kvec(nbin))
+    got = scattering_moments(jnp.asarray(phis), jnp.asarray(taus), Grp,
+                             Gip, M2p, interpret=True, kvec=kv)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-2)
+
+
+def test_ct_supported_gates():
+    assert ct_supported(2048) and ct_supported(256)
+    assert not ct_supported(100) and not ct_supported(128)
+    NQ, M0, NH = ct_geometry(2048)
+    assert NQ == 16 and M0 == 64 and NH == 1025
+    kv = ct_kvec(2048)
+    assert kv.shape == (1025,)
+    assert int(kv[0]) == 0 and kv.max() == 1024
+    # the layout is a permutation of 0..nbin/2 with Nyquist last
+    assert int(kv[-1]) == 1024
+    assert sorted(int(v) for v in kv) == list(range(1025))
