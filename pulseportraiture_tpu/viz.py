@@ -193,68 +193,153 @@ def _finish(plt, fig, savefig, show):
 
 
 class GaussianSelector:
-    """Interactive matplotlib profile-component picker.
+    """Interactive matplotlib hand-fitter for Gaussian components.
 
-    A thin event-driven frontend over the jit Gaussian fitters,
-    replicating the reference's workflow (ppgauss.py:374-655):
-    left-click-drag adds a Gaussian at the dragged location/width,
-    middle-click runs the fit, right-click near a component removes it.
-    Close the figure to finish; the final fit is in ``self.fit``.
+    Feature-parity reimplementation of the reference's selector
+    (ppgauss.py:374-655) over the jit Gaussian fitters:
+
+    - left-click-drag draws a rubber-band box; on release a component
+      is added with loc = box center, wid = box width, amp = 1.05 x
+      (release-y - DC); the press-y anchors at the DC guess
+    - middle click fits all components (+ optional scattering) and
+      shows the best fit plus a residual panel
+    - right click removes the last component
+    - 'q' (or closing the window) finishes; results live in
+      fitted_params / fit_errs / chi2 / dof / residuals (and ``fit``)
+    - tau seeds the scattering timescale [bin]; fixscat=False fits it
+    - auto_gauss != 0 skips interaction: a single component of that
+      width is placed by a brute phase fit and fitted immediately
+    - profile_fit_flags selects which non-scattering parameters to fit
     """
 
-    def __init__(self, profile, errs, fit_scattering=False, quiet=True):
+    def __init__(self, profile, errs, fit_scattering=None, quiet=True,
+                 tau=0.0, fixscat=True, auto_gauss=0.0,
+                 profile_fit_flags=None, ax=None):
         import jax.numpy as jnp
         self._jnp = jnp
         self.profile = np.asarray(profile, dtype=float)
         self.errs = errs
+        if fit_scattering is None:
+            fit_scattering = not fixscat
         self.fit_scattering = fit_scattering
+        # the reference's 0-tau guard: fitting scattering from exactly
+        # zero stalls (ppgauss.py:414-416)
+        self.tau = float(tau) if (tau or not fit_scattering) else 0.1
+        self.profile_fit_flags = profile_fit_flags
         self.quiet = quiet
         self.nbin = len(self.profile)
         self.phases = (np.arange(self.nbin) + 0.5) / self.nbin
         self.components = []  # (loc, wid, amp)
-        self.dc = float(np.median(self.profile))
+        # DC guess: low-decile level, as the reference (ppgauss.py:419)
+        self.dc = float(sorted(self.profile)[self.nbin // 10 + 1])
         self.fit = None
+        self.fitted_params = None
+        self.fit_errs = None
+        self.chi2 = None
+        self.dof = None
+        self.residuals = None
         self._press = None
+        if not quiet and not auto_gauss:
+            print("=============================================")
+            print("Left mouse drag to draw a Gaussian component")
+            print("Middle mouse click to fit components to data")
+            print("Right mouse click to remove the last component")
+            print("Press 'q' or close window when done fitting")
+            print("=============================================")
         plt = _plt()
-        self.fig, self.ax = plt.subplots(figsize=(10, 5))
-        self.ax.plot(self.phases, self.profile, "k-", lw=1)
-        self.ax.set_xlabel("Phase [rot]")
-        self.ax.set_ylabel("Amplitude")
-        self._model_line, = self.ax.plot([], [], "r-", lw=1)
+        if ax is not None:
+            self.fig = ax.figure
+            self.ax = ax
+            self.ax_resid = None
+        else:
+            self.fig, (self.ax, self.ax_resid) = plt.subplots(
+                2, 1, figsize=(10, 7), height_ratios=[2, 1], sharex=True)
+        self.ax.plot(self.phases, self.profile, c="k", lw=3, alpha=0.3)
+        self.ax.axhline(0.0, color="k", lw=1, alpha=0.3, ls=":")
+        if self.ax_resid is not None:
+            self.ax_resid.set_xlabel("Pulse Phase")
+            self.ax_resid.set_ylabel("Data-Fit Residuals")
+        self.ax.set_ylabel("Pulse Amplitude")
+        self._comp_lines = []
+        self._model_line, = self.ax.plot([], [], "k-", lw=1)
+        self._resid_line = None
+        from matplotlib.patches import Rectangle
+        self._band = Rectangle((0, 0), 0, 0, fill=False, edgecolor="k",
+                               alpha=0.5, visible=False)
+        self.ax.add_patch(self._band)
         self.fig.canvas.mpl_connect("button_press_event", self._on_press)
+        self.fig.canvas.mpl_connect("motion_notify_event", self._on_move)
         self.fig.canvas.mpl_connect("button_release_event",
                                     self._on_release)
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        if auto_gauss:
+            self._auto_fit(float(auto_gauss))
         plt.show()
 
+    # ------------------------------------------------------- events
     def _on_press(self, event):
         if event.inaxes != self.ax:
             return
         if event.button == 1:
-            self._press = (event.xdata, event.ydata)
+            # press-y anchored at the DC guess (ppgauss.py:503-505)
+            self._press = (event.xdata, self.dc)
+            self._band.set_visible(True)
         elif event.button == 2:
             self._do_fit()
         elif event.button == 3 and self.components:
-            dists = [abs(c[0] - event.xdata) for c in self.components]
-            self.components.pop(int(np.argmin(dists)))
+            self.components.pop()   # last component (ppgauss.py:641-647)
             self._redraw()
+
+    def _on_move(self, event):
+        if self._press is None or event.inaxes != self.ax:
+            return
+        x0, y0 = self._press
+        x1, y1 = event.xdata, event.ydata
+        self._band.set_x(min(x0, x1))
+        self._band.set_y(min(y0, y1))
+        self._band.set_width(abs(x1 - x0))
+        self._band.set_height(abs(y1 - y0))
+        self.fig.canvas.draw_idle()
 
     def _on_release(self, event):
         if event.inaxes != self.ax or self._press is None or \
                 event.button != 1:
             return
-        x0, y0 = self._press
+        x0, _ = self._press
         self._press = None
-        loc = x0
+        self._band.set_visible(False)
+        # loc/wid/amp from the box, as the reference (ppgauss.py:600-607)
+        loc = 0.5 * (x0 + event.xdata)
         wid = max(abs(event.xdata - x0), 1.0 / self.nbin)
-        amp = max(y0 - self.dc, float(self.profile.max()) * 0.05)
+        amp = abs(1.05 * (event.ydata - self.dc))
         self.components.append((loc, wid, amp))
         self._redraw()
 
+    def _on_key(self, event):
+        if event.key == "q":
+            _plt().close(self.fig)
+
+    # ------------------------------------------------------- fitting
     def _params(self):
-        params = [self.dc, 0.0]
+        params = [self.dc, self.tau]
         for loc, wid, amp in self.components:
             params += [loc, wid, amp]
         return params
+
+    def _auto_fit(self, wid):
+        from pulseportraiture_tpu.fitters.phase_shift import \
+            fit_phase_shift
+        from pulseportraiture_tpu.ops.gaussian import gaussian_profile
+        jnp = self._jnp
+        amp = float(self.profile.max())
+        first = amp * np.asarray(gaussian_profile(self.nbin, 0.5, wid))
+        shift = fit_phase_shift(jnp.asarray(self.profile),
+                                jnp.asarray(first), self.errs)
+        loc = 0.5 + float(shift.phase)
+        self.components.append((loc, wid, amp))
+        if not self.quiet:
+            print("Auto-fitting a single Gaussian component...")
+        self._do_fit()
 
     def _do_fit(self):
         if not self.components:
@@ -262,23 +347,51 @@ class GaussianSelector:
         from pulseportraiture_tpu.models.gaussian import \
             fit_gaussian_profile
         jnp = self._jnp
+        if not self.quiet:
+            print("Fitting reference Gaussian profile...")
         self.fit = fit_gaussian_profile(
             jnp.asarray(self.profile), jnp.asarray(self._params()),
-            self.errs, fit_scattering=self.fit_scattering,
-            quiet=self.quiet)
-        p = list(self.fit.fitted_params)
+            self.errs, fit_flags=self.profile_fit_flags,
+            fit_scattering=self.fit_scattering, quiet=self.quiet)
+        p = list(np.asarray(self.fit.fitted_params))
+        self.fitted_params = np.asarray(self.fit.fitted_params)
+        self.fit_errs = np.asarray(getattr(self.fit, "fit_errs", []))
+        self.chi2 = getattr(self.fit, "chi2", None)
+        self.dof = getattr(self.fit, "dof", None)
         self.dc = p[0]
+        self.tau = p[1]
         self.components = [(p[i], p[i + 1], p[i + 2])
                            for i in range(2, len(p) - 2, 3)]
-        self._redraw()
+        self._redraw(show_fit=True)
 
-    def _redraw(self):
+    # ------------------------------------------------------- drawing
+    def _redraw(self, show_fit=False):
         from pulseportraiture_tpu.models.gaussian import \
             gen_gaussian_profile
+        from pulseportraiture_tpu.ops.gaussian import gaussian_profile
         jnp = self._jnp
+        for ln in self._comp_lines:
+            ln.remove()
+        self._comp_lines = []
+        # per-component colored curves (ppgauss.py:584-593)
+        colors = ["b", "g", "r", "c", "m", "y"] * 10
+        for i, (loc, wid, amp) in enumerate(self.components):
+            comp = self.dc + amp * np.asarray(
+                gaussian_profile(self.nbin, loc, wid))
+            ln, = self.ax.plot(self.phases, comp, colors[i], lw=1)
+            self._comp_lines.append(ln)
         model = np.asarray(gen_gaussian_profile(
             jnp.asarray(self._params()), self.nbin))
         self._model_line.set_data(self.phases, model)
+        if show_fit and self.ax_resid is not None:
+            self.residuals = self.profile - model
+            if self._resid_line is None:
+                self._resid_line, = self.ax_resid.plot(
+                    self.phases, self.residuals, "k")
+            else:
+                self._resid_line.set_data(self.phases, self.residuals)
+            self.ax_resid.relim()
+            self.ax_resid.autoscale_view()
         self.fig.canvas.draw_idle()
 
 

@@ -62,3 +62,56 @@ def test_show_spline_curve_projections(tmp_path):
                                   savefig=str(tmp_path / "s.png"),
                                   show=False)
     assert (tmp_path / "s.png").exists()
+
+
+def test_gaussian_selector_event_workflow():
+    """Drive the interactive selector headlessly: drag-add via the
+    rubber band, middle-click fit (residual panel), right-click remove,
+    auto_gauss bootstrap (reference ppgauss.py:374-655)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import numpy as np
+
+    from pulseportraiture_tpu.ops.gaussian import gaussian_profile
+    from pulseportraiture_tpu.viz import GaussianSelector
+
+    nbin = 128
+    rng = np.random.default_rng(0)
+    prof = 2.0 * np.asarray(gaussian_profile(nbin, 0.45, 0.06)) + \
+        rng.normal(0, 0.02, nbin)
+
+    class _Ev:
+        def __init__(self, ax, x, y, button=1, key=None):
+            self.inaxes = ax
+            self.xdata = x
+            self.ydata = y
+            self.button = button
+            self.key = key
+
+    sel = GaussianSelector(prof, 0.02, quiet=True)
+    assert sel.ax_resid is not None
+    # drag a box roughly over the pulse
+    sel._on_press(_Ev(sel.ax, 0.40, 0.0, button=1))
+    sel._on_move(_Ev(sel.ax, 0.48, 1.8))
+    sel._on_release(_Ev(sel.ax, 0.48, 1.8, button=1))
+    assert len(sel.components) == 1
+    loc, wid, amp = sel.components[0]
+    assert abs(loc - 0.44) < 0.02 and abs(wid - 0.08) < 0.02
+    # middle-click fit
+    sel._on_press(_Ev(sel.ax, 0.45, 1.0, button=2))
+    assert sel.fitted_params is not None
+    assert abs(sel.components[0][0] - 0.45) < 0.01  # loc refined
+    assert abs(sel.components[0][1] - 0.06) < 0.02  # width recovered
+    assert sel.residuals is not None and sel.residuals.std() < 0.05
+    # add a junk component, right-click removes the LAST one
+    sel._on_press(_Ev(sel.ax, 0.1, 0.0, button=1))
+    sel._on_release(_Ev(sel.ax, 0.15, 0.5, button=1))
+    assert len(sel.components) == 2
+    sel._on_press(_Ev(sel.ax, 0.9, 0.0, button=3))
+    assert len(sel.components) == 1
+    assert abs(sel.components[0][0] - 0.45) < 0.01
+
+    # auto_gauss: fully automatic single-component bootstrap
+    sel2 = GaussianSelector(prof, 0.02, quiet=True, auto_gauss=0.05)
+    assert sel2.fitted_params is not None
+    assert abs(sel2.components[0][0] - 0.45) < 0.01
