@@ -307,13 +307,14 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
-                                    "dft_precision", "stats_dtype"))
+                                    "dft_precision", "stats_dtype",
+                                    "ct"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
-                            stats_dtype=None):
+                            stats_dtype=None, ct=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -342,7 +343,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         weights = jnp.ones_like(errs)
 
     _nbin = data_ports.shape[-1]
-    _ct = _use_ct_setup(_nbin, fft_matmul) and model_ports.ndim == 2
+    # ct=False opts out of the fused CT setup kernel: pallas_call does
+    # not partition under GSPMD, so mesh-sharded callers must use the
+    # XLA DFT-matmul path (parallel/mesh.py passes ct=False)
+    _ct = (ct if ct is not None else
+           _use_ct_setup(_nbin, fft_matmul)) and model_ports.ndim == 2
     shared_mft = None
     if model_ports.ndim == 2:
         # one DFT for the whole batch; M2/S0 materialize once under

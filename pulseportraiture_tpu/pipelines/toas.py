@@ -470,6 +470,7 @@ class GetTOAs:
                         fit_args = sh[:6]
                         fit_kw["weights"] = sh[6]
                         fit_kw["nu_fits"] = sh[7]
+                        fit_kw["ct"] = False  # pallas doesn't shard
                     bres = fit_portrait_full_batch(*fit_args, **fit_kw)
                     # one device->host transfer per chunk; assembly then
                     # reads plain numpy (no per-field device syncs).  The
