@@ -41,7 +41,17 @@ def _auto_fit_chunk(shape):
     """
     nchan, nbin = int(shape[0]), int(shape[1])
     nharm = nbin // 2 + 1
-    per_item = 4 * nchan * nbin + 4 * 4 * nchan * nharm
+    try:
+        from pulseportraiture_tpu.fitters.portrait import _use_ct_setup
+        fused = _use_ct_setup(nbin, True)
+    except Exception:
+        fused = False
+    if fused:
+        # fused CT setup: data + persistent Gr/Gi only (no dr/di
+        # transients)
+        per_item = 4 * nchan * nbin + 2 * 4 * nchan * nharm
+    else:
+        per_item = 4 * nchan * nbin + 4 * 4 * nchan * nharm
     hbm = None
     try:
         import jax
