@@ -110,13 +110,13 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     weights = np.asarray(arch.weights, dtype=np.float64)
     weights_norm = np.where(weights == 0.0, 0.0, 1.0)
     # per-(sub, pol, chan) off-pulse noise via the PS estimator
-    noise_stds = np.array(get_noise_PS(jnp.asarray(subints), chans=True))
+    noise_stds = np.array(get_noise_PS(subints, chans=True))
     ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
     ok_ichans = [np.compress(weights_norm[isub], range(nchan))
                  for isub in range(nsub)]
     masks = np.einsum("ij,k->ijk", weights_norm, np.ones(nbin))
     masks = np.einsum("j,ikl->ijkl", np.ones(npol), masks)
-    SNRs = np.array(get_SNR(jnp.asarray(subints)))
+    SNRs = np.array(get_SNR(subints))
     # profile stats on the scrunched copy
     prof_arch = arch.copy()
     prof_arch.pscrunch()
@@ -131,8 +131,8 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     prof_arch.tscrunch()
     prof_arch.fscrunch()
     prof = prof_arch.data[0, 0, 0]
-    prof_noise = float(get_noise_PS(jnp.asarray(prof)))
-    prof_SNR = float(get_SNR(jnp.asarray(prof)))
+    prof_noise = float(get_noise_PS(prof))
+    prof_SNR = float(get_SNR(prof))
     if not quiet:
         print(f"Read {filename}: {source} P={Ps[0] * 1000:.3f} ms "
               f"DM={DM:.6f} {nchan}x{nbin} nsub={nsub} state={arch.state}")

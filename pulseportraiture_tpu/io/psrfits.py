@@ -76,12 +76,26 @@ class Archive:
     # -- dedispersion state management (PSRCHIVE dedisperse/dededisperse) --
 
     def _rotate_dm(self, sign):
-        import jax.numpy as jnp
-        from pulseportraiture_tpu.ops.rotate import rotate_data
-        out = np.array(rotate_data(jnp.asarray(self.data), 0.0,
-                                   sign * self.DM, jnp.asarray(self.Ps),
-                                   jnp.asarray(self.freqs), self.nu0))
-        self.data = out
+        # host float64 rotation (mirrors ops.rotate.rotate_data): archive
+        # loading must not bounce off the accelerator — on remote-TPU
+        # backends every device call costs a ~30-50 ms round trip, and
+        # f64 keeps the many-turn dispersion phases exact
+        from pulseportraiture_tpu.config import DCONST
+        d = np.asarray(self.data, dtype=np.float64)
+        nsub, npol, nchan, nbin = d.shape
+        F = np.fft.rfft(d, axis=-1)
+        k = np.arange(F.shape[-1])
+        freqs = np.asarray(self.freqs, dtype=np.float64)
+        if freqs.ndim == 1:
+            freqs = np.broadcast_to(freqs, (nsub, nchan))
+        D = DCONST * (sign * self.DM) / np.asarray(self.Ps,
+                                                   dtype=np.float64)
+        inv2 = np.where(np.isinf(freqs), 0.0, freqs) ** -2.0
+        inv2 = np.where(np.isinf(freqs), 0.0, inv2)
+        ref2 = 0.0 if np.isinf(self.nu0) else float(self.nu0) ** -2.0
+        phis = D[:, None] * (inv2 - ref2)           # (nsub, nchan)
+        ramp = np.exp(2.0j * np.pi * phis[:, None, :, None] * k)
+        self.data = np.fft.irfft(F * ramp, n=nbin, axis=-1)
 
     def dedisperse(self):
         if not self.dedispersed and self.DM != 0.0:

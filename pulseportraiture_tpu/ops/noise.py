@@ -48,8 +48,9 @@ def get_noise_PS(data, frac=4, chans=False):
             kc = int((1 - 1.0 / frac) * pows.shape[0])
             out = np.sqrt(np.mean(pows[kc:]))
         dt = getattr(data, "dtype", None)
-        return jnp.asarray(out, dtype=dt if dt is not None and
-                           jnp.issubdtype(dt, jnp.floating) else None)
+        if dt is not None and jnp.issubdtype(dt, jnp.floating):
+            out = np.asarray(out, dtype=dt)
+        return out    # host array: load-time callers stay off-device
 
     from pulseportraiture_tpu.ops.fourier import rfft_ri
     data = jnp.asarray(data)
@@ -123,7 +124,23 @@ def get_SNR(prof, fudge=SNR_FUDGE):
     """Equivalent-width SNR estimate (baseline assumed removed).
 
     Reference: pplib.py:2289-2308 (Lorimer & Kramer 2005).
+    Concrete inputs compute on the host (load-time estimator; see
+    get_noise_PS); traced inputs stay in jnp.
     """
+    import jax
+
+    if not isinstance(prof, jax.core.Tracer):
+        p = np.asarray(prof, dtype=np.float64)
+        noise = np.asarray(get_noise_PS(p))
+        Weq = p.sum(-1) / p.max(-1)
+        mask = np.where(Weq <= 0.0, 0.0, 1.0)
+        Weq = np.where(Weq <= 0.0, 1.0, Weq)
+        SNR = p.sum(-1) / (noise * Weq ** 0.5)
+        out = SNR * mask / fudge
+        dt = getattr(prof, "dtype", None)
+        if dt is not None and jnp.issubdtype(dt, jnp.floating):
+            out = np.asarray(out, dtype=dt)
+        return out    # host array: load-time callers stay off-device
     prof = jnp.asarray(prof)
     noise = get_noise_PS(prof)
     Weq = prof.sum(-1) / prof.max(-1)

@@ -386,22 +386,33 @@ class GetTOAs:
                                   mean_prof=mean_prof,
                                   mean_model=mean_model))
 
-            # batched phase guesses: all subints of the archive in one
-            # fit_phase_shift_batch dispatch (mean profiles share nbin)
-            if preps:
-                from pulseportraiture_tpu.fitters.phase_shift import \
-                    fit_phase_shift_batch
-                pg = fit_phase_shift_batch(
-                    jnp.asarray(np.stack([p["mean_prof"] for p in preps])),
-                    jnp.asarray(np.stack([p["mean_model"]
-                                          for p in preps])), Ns=100)
-                pg_phase = np.asarray(pg.phase)
-                for p, ph in zip(preps, pg_phase):
-                    p["init"][0] = float(ph)
-                    del p["mean_prof"], p["mean_model"]
-
             arch_jobs.append(dict(df=df, data=data, DM0_arch=DM0_arch,
                                   preps=preps, nbin=nbin))
+
+        # ---- batched phase guesses: ALL subints of ALL archives in one
+        # fit_phase_shift_batch dispatch per nbin group; the Fourier
+        # noise of the mean profiles is estimated on the host so no
+        # per-archive device round trips remain (remote dispatch costs
+        # ~30 ms each) ----
+        pg_groups = {}
+        for job in arch_jobs:
+            for p in job["preps"]:
+                pg_groups.setdefault(len(p["mean_prof"]), []).append(p)
+        if pg_groups:
+            from pulseportraiture_tpu.fitters.phase_shift import \
+                fit_phase_shift_batch
+            from pulseportraiture_tpu.ops.noise import get_noise_PS
+            for plist in pg_groups.values():
+                mp = np.stack([p["mean_prof"] for p in plist])
+                mm = np.stack([p["mean_model"] for p in plist])
+                noise = np.asarray(get_noise_PS(mp, chans=True))
+                pg = fit_phase_shift_batch(jnp.asarray(mp),
+                                           jnp.asarray(mm),
+                                           noise=jnp.asarray(noise),
+                                           Ns=100)
+                for p, ph in zip(plist, np.asarray(pg.phase)):
+                    p["init"][0] = float(ph)
+                    del p["mean_prof"], p["mean_model"]
 
         # ---- global fit pass: batch fittable subints across ALL
         # archives into chunked device programs (grouped by portrait
