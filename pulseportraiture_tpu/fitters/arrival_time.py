@@ -32,7 +32,6 @@ All estimators run split-real (no complex arrays: TPU-safe) over
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -35,7 +35,6 @@ import numpy as np
 
 from pulseportraiture_tpu.config import DCONST
 from pulseportraiture_tpu.fitters import stats
-from pulseportraiture_tpu.ops.transform import phase_shifts_deriv
 
 
 def get_nu_zeros(params, setup, fit_flags=(1, 1, 1, 1, 1), log10_tau=True,

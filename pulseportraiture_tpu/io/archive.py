@@ -63,7 +63,6 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
 
     Schema-parity with reference pplib.py:2650-2814.
     """
-    import jax.numpy as jnp
     from pulseportraiture_tpu.ops.noise import get_noise_PS, get_SNR
 
     arch = read_psrfits(filename)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pulseportraiture_tpu.config import SCATTERING_ALPHA, WID_MAX
+from pulseportraiture_tpu.config import WID_MAX
 from pulseportraiture_tpu.ops.scattering import (scattering_portrait_FT_ri,
                                                  scattering_profile_FT_ri,
                                                  scattering_times)
