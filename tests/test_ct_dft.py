@@ -11,7 +11,7 @@ from pulseportraiture_tpu.ops.ct_dft import (ct_geometry, ct_kvec,
                                              unpermute_spectrum)
 
 
-@pytest.mark.parametrize("nbin", [256, 1024, 2048])
+@pytest.mark.parametrize("nbin", [256, 1024, 2048, 4096])
 def test_ct_setup_matches_numpy(nbin):
     rng = np.random.default_rng(0)
     nchan = 16
