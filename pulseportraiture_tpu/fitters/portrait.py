@@ -308,13 +308,13 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
-                                    "ct"))
+                                    "ct", "pallas"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
-                            stats_dtype=None, ct=None):
+                            stats_dtype=None, ct=None, pallas=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -358,35 +358,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             model_ports, fft_matmul=fft_matmul,
             dft_precision="highest" if _ct else dft_precision)
 
-    def _fit_one(setup, x0):
-        res = newton.trust_region_minimize(
-            lambda x: stats.chi2_value_grad_hess(x, setup,
-                                                 fit_flags=fit_flags,
-                                                 log10_tau=log10_tau,
-                                                 scattering=scattering,
-                                                 return_moments=True),
-            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14, has_aux=True)
-        nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau,
-                                    scattering=scattering, moments=res.aux)
-        nu_out_DM, nu_out_GM, nu_out_tau = nzs
-        if fit_flags[1]:
-            nu_out_GM = nu_out_DM
-        elif fit_flags[2]:
-            nu_out_DM = nu_out_GM
-        params_out = _rereference(res.x, setup, nu_out_DM, nu_out_GM,
-                                  nu_out_tau, log10_tau)
-        setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
-                                   nu_tau=nu_out_tau)
-        outs = _finalize(params_out, setup_out, fit_flags, log10_tau,
-                         res.fun, scattering=scattering, moments=res.aux)
-        cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
-            outs
-        return PortraitFitResult(
-            params=params_out, param_errs=perrs, scales=scales,
-            scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
-            nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
-            red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
-            niter=res.niter, nfeval=res.nfev, return_code=res.status)
+    _fit_one = _make_fit_one(fit_flags, log10_tau, max_iter, scattering,
+                             pallas)
 
     nbin = _nbin
     if _ct:
@@ -443,6 +416,69 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             data_ports, init_params, Ps, freqs, errs, weights, nu_fits)
     return jax.vmap(one)(data_ports, model_ports, init_params, Ps, freqs,
                          errs, weights, nu_fits)
+
+
+def _make_fit_one(fit_flags, log10_tau, max_iter, scattering, pallas):
+    """Optimize -> nu_zeros -> re-reference -> covariance for ONE item
+    given a prebuilt FitSetup (all arguments static; vmap for batches).
+    pallas=False forces XLA moments (required under GSPMD sharding)."""
+
+    def _fit_one(setup, x0):
+        res = newton.trust_region_minimize(
+            lambda x: stats.chi2_value_grad_hess(x, setup,
+                                                 fit_flags=fit_flags,
+                                                 log10_tau=log10_tau,
+                                                 scattering=scattering,
+                                                 return_moments=True,
+                                                 use_pallas=pallas),
+            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14, has_aux=True)
+        nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau,
+                                    scattering=scattering, moments=res.aux)
+        nu_out_DM, nu_out_GM, nu_out_tau = nzs
+        if fit_flags[1]:
+            nu_out_GM = nu_out_DM
+        elif fit_flags[2]:
+            nu_out_DM = nu_out_GM
+        params_out = _rereference(res.x, setup, nu_out_DM, nu_out_GM,
+                                  nu_out_tau, log10_tau)
+        setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+                                   nu_tau=nu_out_tau)
+        outs = _finalize(params_out, setup_out, fit_flags, log10_tau,
+                         res.fun, scattering=scattering, moments=res.aux)
+        cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
+            outs
+        return PortraitFitResult(
+            params=params_out, param_errs=perrs, scales=scales,
+            scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
+            nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
+            red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
+            niter=res.niter, nfeval=res.nfev, return_code=res.status)
+
+    return _fit_one
+
+
+def fit_batch_from_setup(setup_b, init_params, setup_axes=None,
+                         fit_flags=(1, 1, 0, 0, 0), log10_tau=True,
+                         max_iter=100, scattering=None, pallas=None):
+    """Batched fit over a prebuilt (leading-axis) FitSetup pytree.
+
+    setup_axes: a FitSetup of vmap in_axes (0 for per-item fields, None
+    for shared fields like M2/S0/kvec); defaults to all-0 with nbin and
+    kvec shared.  The multi-chip CT path builds the setup with a
+    shard_map'd ops.ct_dft.ct_setup and fits with pallas=False so GSPMD
+    can partition the Newton loop (parallel/mesh.py).
+    """
+    if fit_flags[3] or fit_flags[4]:
+        scattering = True
+    elif scattering is None:
+        scattering = True
+    if setup_axes is None:
+        setup_axes = stats.FitSetup(
+            Gr=0, Gi=0, M2=0, w=0, freqs=0, P=0, nu_DM=0, nu_GM=0,
+            nu_tau=0, Sd=0, S0=0, nbin=None, kvec=None)
+    fit_one = _make_fit_one(tuple(int(bool(f)) for f in fit_flags),
+                            log10_tau, max_iter, scattering, pallas)
+    return jax.vmap(fit_one, in_axes=(setup_axes, 0))(setup_b, init_params)
 
 
 def _use_ct_setup(nbin, fft_matmul):

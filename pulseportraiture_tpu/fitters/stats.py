@@ -44,9 +44,13 @@ TWO_PI = float(2.0 * _np.pi)
 LN10 = float(_np.log(10.0))
 
 
-def _use_pallas_moments():
+def _use_pallas_moments(use_pallas=None):
     """Use the fused Pallas moments kernel: on TPU by default,
-    overridable with PP_PALLAS=0/1 (decided at trace time)."""
+    overridable with PP_PALLAS=0/1 (decided at trace time).
+    use_pallas=False forces the XLA path — required under GSPMD
+    sharding, where pallas_call cannot be partitioned."""
+    if use_pallas is not None:
+        return bool(use_pallas)
     import os
 
     import jax
@@ -219,7 +223,8 @@ def _phase_trig(phis, k):
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def _moments(params, setup, log10_tau, order, scattering=True):
+def _moments(params, setup, log10_tau, order, scattering=True,
+             use_pallas=None):
     """Shared harmonic reductions for value/grad/hess.
 
     order: 0 -> value only, 1 -> + gradient terms, 2 -> + Hessian terms.
@@ -256,7 +261,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
             "S": w * setup.S0,
         }
         zero1 = jnp.zeros_like(setup.freqs)
-        if order == 2 and _use_pallas_moments():
+        if order == 2 and _use_pallas_moments(use_pallas):
             # fused single-pass TPU kernel (ops/pallas_moments.py)
             from pulseportraiture_tpu.ops.pallas_moments import \
                 phase_moments
@@ -284,7 +289,7 @@ def _moments(params, setup, log10_tau, order, scattering=True):
 
     taus, dtau, d2tau = _taus_and_derivs(params, setup, log10_tau)
 
-    if order == 2 and _use_pallas_moments():
+    if order == 2 and _use_pallas_moments(use_pallas):
         # fused single-pass TPU kernel (ops/pallas_moments.py)
         from pulseportraiture_tpu.ops.pallas_moments import \
             scattering_moments
@@ -407,7 +412,7 @@ def chi2_prime(params, setup, log10_tau=True, scattering=True):
 
 def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
                          log10_tau=True, scattering=True,
-                         return_moments=False):
+                         return_moments=False, use_pallas=None):
     """(chi2', gradient(5,), Hessian(5,5)) in one fused evaluation.
 
     Gradient: reference pptoaslib.py:544-574; Hessian (amplitude-profiled):
@@ -419,7 +424,7 @@ def chi2_value_grad_hess(params, setup, fit_flags=(1, 1, 1, 1, 1),
     solver and output covariance need no further pass over Gr/Gi).
     """
     m = _moments(params, setup, log10_tau, order=2,
-                 scattering=scattering)
+                 scattering=scattering, use_pallas=use_pallas)
     C, S = m["C"], m["S"]
     si = _masked_inv(S, setup.w)
     r = C * si

@@ -90,3 +90,96 @@ def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
                                    nu_fits=nu_fits, fit_flags=fit_flags,
                                    log10_tau=log10_tau, max_iter=max_iter,
                                    **kwargs)
+
+
+def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
+                                 Ps, freqs, errs, weights=None,
+                                 nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
+                                 log10_tau=True, max_iter=100,
+                                 scattering=None, dft_precision="high",
+                                 interpret=None):
+    """Multi-chip fit with the fused CT setup running per shard.
+
+    pallas_call does not partition under GSPMD, so the CT kernel runs
+    inside shard_map: each device transforms its own ('batch','chan')
+    block of the data against its channel shard of the (nchan, nbin)
+    shared model — zero cross-device traffic in the setup (the CT
+    kernel is channel-local).  The Newton loop then runs under GSPMD
+    with XLA moments (pallas=False), whose channel reductions lower to
+    the per-item scalar all-reduces (tests/test_parallel.py).
+
+    interpret=None auto-selects the Pallas interpreter off-TPU so the
+    path is testable on the virtual CPU mesh.
+    """
+    from pulseportraiture_tpu.config import F0_FACT
+    from pulseportraiture_tpu.fitters import stats
+    from pulseportraiture_tpu.fitters.portrait import fit_batch_from_setup
+    from pulseportraiture_tpu.ops.ct_dft import (ct_kvec, ct_setup,
+                                                 ct_supported,
+                                                 permute_spectrum)
+
+    B, nchan, nbin = data_ports.shape
+    assert ct_supported(nbin), f"CT layout unsupported for nbin={nbin}"
+    assert model_port.ndim == 2, "CT sharded path needs one shared model"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if freqs.ndim == 1:
+        freqs = jnp.broadcast_to(freqs, (B, nchan))
+    if weights is None:
+        weights = jnp.ones_like(errs)
+    if nu_fits is None:
+        nu_fits = jnp.broadcast_to(freqs.mean(axis=-1)[:, None], (B, 3))
+    dt = jnp.asarray(data_ports).dtype
+
+    mft = stats.model_ft(jnp.asarray(model_port, dt), fft_matmul=True,
+                         dft_precision="highest")
+    mrp, mip = permute_spectrum(*mft, nbin)
+
+    s_port = NamedSharding(mesh, P("batch", "chan", None))
+    s_spec = NamedSharding(mesh, P("chan", None))
+    s_chan = NamedSharding(mesh, P("batch", "chan"))
+    s_item = NamedSharding(mesh, P("batch"))
+    data_ports = jax.device_put(jnp.asarray(data_ports, dt), s_port)
+    mrp = jax.device_put(mrp, s_spec)
+    mip = jax.device_put(mip, s_spec)
+
+    def local_setup(d, a, b):
+        return ct_setup(d, a, b, f0_fact=bool(F0_FACT),
+                        dft_precision=dft_precision, interpret=interpret)
+
+    # pallas_call's out_shape carries no varying-mesh-axes annotation,
+    # so the vma/replication check must be off
+    Grp, Gip, sd = jax.shard_map(
+        local_setup, mesh=mesh,
+        in_specs=(P("batch", "chan", None), P("chan", None),
+                  P("chan", None)),
+        out_specs=(P("batch", "chan", None), P("batch", "chan", None),
+                   P("batch", "chan")),
+        check_vma=False)(data_ports, mrp, mip)
+
+    M2 = mrp * mrp + mip * mip
+    S0 = jnp.sum(M2, axis=-1)
+    errs_FT = jnp.asarray(errs, dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
+    w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
+    w = w * (jnp.asarray(weights) > 0.0)
+    w = jax.device_put(w, s_chan)
+    Sd = jnp.sum(w * sd, axis=-1)
+    setup_b = stats.FitSetup(
+        Gr=Grp, Gi=Gip, M2=M2, w=w,
+        freqs=jax.device_put(jnp.asarray(freqs, dt), s_chan),
+        P=jax.device_put(jnp.asarray(Ps, dt), s_item),
+        nu_DM=nu_fits[:, 0].astype(dt), nu_GM=nu_fits[:, 1].astype(dt),
+        nu_tau=nu_fits[:, 2].astype(dt), Sd=Sd.astype(dt), S0=S0,
+        nbin=int(nbin), kvec=jnp.asarray(ct_kvec(nbin), dt))
+    axes = stats.FitSetup(Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0,
+                          nu_DM=0, nu_GM=0, nu_tau=0, Sd=0, S0=None,
+                          nbin=None, kvec=None)
+    fitter = jax.jit(fit_batch_from_setup,
+                     static_argnames=("setup_axes", "fit_flags",
+                                      "log10_tau", "max_iter",
+                                      "scattering", "pallas"))
+    return fitter(setup_b, jax.device_put(jnp.asarray(init_params, dt),
+                                          s_item),
+                  setup_axes=axes, fit_flags=fit_flags,
+                  log10_tau=log10_tau, max_iter=max_iter,
+                  scattering=scattering, pallas=False)

@@ -164,3 +164,39 @@ def test_mesh_campaign_matches_single_device(tmp_path):
         assert abs(t1.TOA_error - t0.TOA_error) < 1e-9 * max(
             1.0, abs(t0.TOA_error))
         assert abs(t1.DM - t0.DM) < 1e-9
+
+
+def test_sharded_ct_setup_matches_single_device(problem):
+    """The shard_map'd fused-CT setup + GSPMD Newton loop must agree
+    with the single-device fit (the CT kernel is channel-local, so the
+    setup needs zero cross-device traffic; docs/design.md section 4)."""
+    from pulseportraiture_tpu.parallel.mesh import fit_portrait_full_sharded_ct
+
+    # CT needs nbin = NQ*128 >= 256; build a dedicated problem
+    rng = np.random.default_rng(5)
+    B, nchan, nbin = 4, 16, 256
+    fr = np.linspace(1100.0, 1900.0, nchan)
+    x = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((x - 0.4) / 0.03) ** 2)
+    model1 = prof[None, :] * (fr[:, None] / 1500.0) ** -1.3
+    data = jnp.asarray(np.broadcast_to(model1, (B, nchan, nbin)) +
+                       rng.normal(0, 0.02, (B, nchan, nbin)))
+    model = jnp.asarray(np.broadcast_to(model1, (B, nchan, nbin)))
+    init = jnp.zeros((B, 5))
+    Ps = jnp.full(B, 0.003)
+    freqs = jnp.asarray(fr)
+    errs = jnp.full((B, nchan), 0.02)
+    res_single = fit_portrait_full_batch(
+        data, model, init, Ps, freqs, errs, fit_flags=(1, 1, 0, 0, 0),
+        log10_tau=False, max_iter=30)
+    mesh = make_mesh(n_batch=4, n_chan=2)
+    res_ct = fit_portrait_full_sharded_ct(
+        mesh, data, jnp.asarray(model1), init, Ps, freqs, errs,
+        fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=30)
+    # the CT kernel computes in f32 (TPU storage format); on the f64
+    # CPU mesh that bounds agreement at the f32 round-trip level
+    np.testing.assert_allclose(np.asarray(res_ct.params)[:, :2],
+                               np.asarray(res_single.params)[:, :2],
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(res_ct.chi2),
+                               np.asarray(res_single.chi2), rtol=1e-4)
