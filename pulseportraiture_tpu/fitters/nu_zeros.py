@@ -9,9 +9,11 @@ the per-channel Hessian.  All branch formulas follow the reference
   [1,0,1,0,0]  phi+GM:        nu^-4 analogue (closed form, JAX)
   [0,0,0,1,1]  tau+alpha:     log-space mean (closed form, JAX)
   [1,1,0,1,0]  phi+DM+tau:    3x3 cofactor closed form (JAX)
-  [1,1,1,0,0]  phi+DM+GM:     even degree-6 polynomial -> cubic in nu^2 (host)
+  [1,1,1,0,0]  phi+DM+GM:     even degree-6 polynomial -> cubic in nu^2
+                              (device grid+bisection root solver)
   [1,1,0,1,1]  phi+DM+tau+a:  4x4 cofactor closed form (JAX)
-  [1,1,1,1,0]  no alpha:      degree-5/4 polynomial in nu^2 (host roots)
+  [1,1,1,1,0]  no alpha:      degree-5/4 polynomial in nu^2 (device
+                              grid+bisection root solver)
   [1,1,1,1,1]  all:           approximated by the [1,1,0,1,1] formulas
 
 Where the reference divides per-channel Hessian entries by the phase/DM
@@ -24,8 +26,14 @@ The quotients are therefore division-free — the reference's forms give
 0/0 = NaN whenever a channel frequency equals the fit reference (e.g.
 evenly spaced odd-nchan grids, where mean(freqs) IS the center channel).
 
-Polynomial branches use numpy roots on host (nonsymmetric eigensolves are
-unsupported on TPU); they run once per fit, outside the jitted hot loop.
+Polynomial branches solve their root pick entirely on device with the
+scaled-Horner grid + masked-bisection solver at the bottom of this file
+(nonsymmetric eigensolves, np.roots, and pure_callback are ALL
+unavailable on the TPU backend), so GM fits batch under vmap/jit.
+Limitations vs the reference's np.roots (documented in PARITY.md): only
+roots bracketed by a sign change on the 1e-3..1e3 x target log grid are
+found — even-multiplicity (double) roots and roots outside that window
+fall back to the fit reference frequency.
 """
 
 from __future__ import annotations

@@ -503,9 +503,11 @@ def _nu_zeros_closed_form(params, setup, fit_flags, log10_tau,
     if ff in ((1, 1, 0, 0, 0), (1, 0, 1, 0, 0), (0, 0, 0, 1, 1),
               (1, 1, 0, 1, 0), (1, 1, 0, 1, 1), (1, 1, 1, 1, 1),
               (1, 1, 1, 0, 0), (1, 1, 1, 1, 0)):
-        # the last two (GM polynomial) branches solve their root pick
-        # through a host pure_callback of a handful of scalars — fully
-        # batchable under vmap (VERDICT round 1, weak #4)
+        # the GM polynomial branches pick their root on device via the
+        # scaled-Horner grid + masked-bisection solver
+        # (fitters/nu_zeros.py:_nearest_positive_real_root) — fully
+        # batchable under vmap, no host callbacks (the TPU backend has
+        # neither nonsymmetric eigensolvers nor pure_callback)
         nz = nu_zeros.get_nu_zeros(params, setup, fit_flags=ff,
                                    log10_tau=log10_tau,
                                    scattering=scattering, moments=moments)

@@ -65,8 +65,23 @@ class MJD:
     def __eq__(self, other):
         return isinstance(other, MJD) and self - other == 0.0
 
+    def day_fracstr(self, ndigits: int = 15) -> str:
+        """'<days>.<frac>' with the fractional day rounded to ndigits.
+
+        Carries the rounding overflow into the integer day: an epoch
+        within half an ulp of midnight must print as the NEXT day with a
+        zero fraction, not a >=1.0 fractional part (malformed TOA).
+        """
+        scale = 10 ** ndigits
+        frac_i = int(round(self.fracday() * scale))
+        days = self.days
+        if frac_i >= scale:
+            days += frac_i // scale
+            frac_i %= scale
+        return "%d.%0*d" % (days, ndigits, frac_i)
+
     def __repr__(self):
         return f"MJD({self.days}, {self.secs}, {self.frac!r})"
 
     def __str__(self):
-        return f"{self.days}" + f"{self.fracday():.15f}"[1:]
+        return self.day_fracstr(15)

@@ -98,9 +98,9 @@ def _format_flag(flag, value):
 def toa_string(toa, inf_is_zero=True):
     freq = 0.0 if (toa.frequency == np.inf and inf_is_zero) else \
         toa.frequency
-    s = "%s %.8f %d" % (toa.archive, freq, toa.MJD.intday()) + \
-        ("%.15f   %.3f  %s" % (toa.MJD.fracday(), toa.TOA_error,
-                               toa.telescope_code))[1:]
+    s = "%s %.8f %s   %.3f  %s" % (toa.archive, freq,
+                                   toa.MJD.day_fracstr(15),
+                                   toa.TOA_error, toa.telescope_code)
     if toa.DM is not None:
         s += " -pp_dm %.7f" % toa.DM
     if toa.DM_error is not None:

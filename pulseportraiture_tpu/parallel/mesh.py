@@ -82,9 +82,13 @@ def fit_portrait_full_sharded(mesh, data_ports, model_ports, init_params,
     (data_ports, model_ports, init_params, Ps, freqs, errs, weights,
      nu_fits) = shard_fit_inputs(mesh, data_ports, model_ports, init_params,
                                  Ps, freqs, errs, weights, nu_fits)
-    # ct=False: the fused CT setup kernel (pallas_call) does not
-    # partition under GSPMD; sharded fits take the XLA DFT-matmul path
+    # pallas_call does not partition under GSPMD: sharded fits take the
+    # XLA DFT-matmul setup AND XLA moments (a pallas_call inside the
+    # GSPMD-partitioned Newton loop would compute on unpartitioned
+    # shapes); the shard_map CT variant below runs the fused kernels
+    # correctly per shard
     kwargs.setdefault("ct", False)
+    kwargs.setdefault("pallas", False)
     return fit_portrait_full_batch(data_ports, model_ports, init_params,
                                    Ps, freqs, errs, weights=weights,
                                    nu_fits=nu_fits, fit_flags=fit_flags,

@@ -421,8 +421,9 @@ class GetTOAs:
         # jit-cached per-subint fitter in the assembly pass. ----
         results = {}
         batchable_items = []
-        # fit_GM combos batch too: their polynomial nu_zeros solve via a
-        # host pure_callback inside the jitted batch program
+        # fit_GM combos batch too: their polynomial nu_zeros solve on
+        # device via the grid+bisection root solver (fitters/nu_zeros.py;
+        # no host callbacks — the TPU backend has none)
         if nu_refs is None:
             for iarch, job in enumerate(arch_jobs):
                 for p in job["preps"]:
@@ -491,7 +492,10 @@ class GetTOAs:
                         fit_args = sh[:6]
                         fit_kw["weights"] = sh[6]
                         fit_kw["nu_fits"] = sh[7]
-                        fit_kw["ct"] = False  # pallas doesn't shard
+                        # pallas_call does not partition under GSPMD:
+                        # force XLA setup + moments on the sharded path
+                        fit_kw["ct"] = False
+                        fit_kw["pallas"] = False
                     bres = fit_portrait_full_batch(*fit_args, **fit_kw)
                     # one device->host transfer per chunk; assembly then
                     # reads plain numpy (no per-field device syncs).  The
@@ -971,9 +975,7 @@ class GetTOAs:
                               float(toa_err_us), data.telescope,
                               data.telescope_code, flags=fl)
                     toa_objs.append(toa)
-                    mjd_s = "%d.%015d" % (
-                        toa_mjd.days,
-                        int(round(toa_mjd.fracday() * 1e15)))
+                    mjd_s = toa_mjd.day_fracstr(15)
                     flag_s = " ".join(f"-{k} {v}" for k, v in fl.items())
                     lines.append(
                         f"{df} {float(freqs[ichan]):.6f} {mjd_s} "

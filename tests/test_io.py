@@ -77,6 +77,24 @@ def test_mjd_precision_and_arithmetic():
     assert m4.intday() == 56999 and m4.secs == 86399
 
 
+def test_mjd_fracstr_midnight_rounding_carry():
+    """Epochs within half an ulp of midnight must print as the NEXT day
+    (advisor r2: '%d.%015d' overflowed to a 16-digit fraction)."""
+    m = MJD(57000, 86399, 1.0 - 1e-13)     # fracday rounds to 1.0 @15dp
+    s = m.day_fracstr(15)
+    assert s == "57001.000000000000000", s
+    days, frac = s.split(".")
+    assert len(frac) == 15
+    assert str(m) == s
+    # an ordinary epoch is unaffected
+    assert MJD(57000, 43200, 0.0).day_fracstr(15) == \
+        "57000.500000000000000"
+    # and the .tim writer uses the carried form
+    from pulseportraiture_tpu.io.tim import toa_string
+    toa = TOA("f.fits", 1420.0, m, 1.0, "GBT", "1", flags={})
+    assert "57001.000000000000000" in toa_string(toa)
+
+
 def test_parse_par():
     par = parse_par(["PSR  J0437-4715", "F0  173.6879458121843  1  3e-13",
                      "F1  -1.728366D-15", "PEPOCH 50000.0",
