@@ -58,8 +58,6 @@ def main():
         pass
 
     import jax.numpy as jnp
-    from pulseportraiture_tpu.fitters.phase_shift import \
-        fit_phase_shift_batch
     from pulseportraiture_tpu.fitters.portrait import fit_portrait_full_batch
 
     rng = np.random.default_rng(0)
@@ -95,33 +93,20 @@ def main():
     freqs_j = jnp.asarray(freqs, jnp.float32)
     errs = jnp.full((BATCH, NCHAN), noise, jnp.float32)
     nu_fits = jnp.full((BATCH, 3), nu_fit, jnp.float32)
-    mean_model = jnp.asarray(model.mean(axis=0))
-    # mean-profile Fourier noise for the brute seed (pipeline estimates
-    # this per archive on the host, pipelines/toas.py:402-415)
-    pg_noise = jnp.full(BATCH, noise / np.sqrt(NCHAN), jnp.float32)
-
-    @jax.jit
-    def seed(d):
-        # production seeding (pipelines/toas.py:392-415): a batched
-        # brute phase guess on the channel-mean profiles seeds the
-        # Newton fit — this is device work the campaign pipeline
-        # performs per fit, so it belongs inside the timed region
-        mean_prof = d.mean(axis=1)
-        pg = fit_phase_shift_batch(mean_prof,
-                                   jnp.broadcast_to(mean_model,
-                                                    mean_prof.shape),
-                                   noise=pg_noise, Ns=100)
-        return jnp.zeros((BATCH, 5), jnp.float32).at[:, 0].set(
-            pg.phase.astype(jnp.float32))
+    init = jnp.zeros((BATCH, 5), jnp.float32)
 
     def run():
-        init = seed(data)
+        # seed_phase=True performs the production seeding in-program
+        # (pipelines/toas.py:392-415): a brute band-summed phase guess,
+        # fused into the CT setup kernel on TPU — zero extra passes
+        # over the spectra, one dispatch per batch
         return fit_portrait_full_batch(data, model_j, init, Ps, freqs_j,
                                        errs, nu_fits=nu_fits,
                                        fit_flags=(1, 1, 0, 0, 0),
                                        log10_tau=False, max_iter=30,
                                        fft_matmul=True, scattering=False,
-                                       dft_precision="high")
+                                       dft_precision="high",
+                                       seed_phase=True)
 
     res = run()  # compile + warmup
     np.asarray(res.params)  # full fetch: block_until_ready alone can

@@ -304,17 +304,45 @@ def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
 # Batched production path
 # ----------------------------------------------------------------------
 
+def _brute_phase_seed(gsr, gsi, kvec, Ns=512):
+    """Per-item brute phase from the band-summed cross-spectrum.
+
+    argmax_phi sum_k Re(Gsum_k e^{2 pi i phi k}) — the phi-only profile
+    of the fit objective at the init DM — evaluated on an Ns-point
+    circular grid (one (B, NH) @ (NH, Ns) matmul) and refined with a
+    3-point parabola through the peak (seed error ~(1/Ns)^2; the Newton
+    loop then converges in 1-2 iterations).  This replaces the separate
+    mean-profile brute fit the pipeline dispatches
+    (pipelines/toas.py:392-415) with zero extra passes over the spectra
+    when fed from ct_setup(..., w=) (ops/ct_dft.py).
+    """
+    dt = gsr.dtype
+    grid = jnp.arange(Ns, dtype=dt) / Ns - 0.5          # circular
+    Ct, St = stats._phase_trig(grid, jnp.asarray(kvec, dt))  # (Ns, NH)
+    vals = gsr @ Ct.T - gsi @ St.T                      # (B, Ns)
+    j = jnp.argmax(vals, axis=-1)
+    B = vals.shape[0]
+    rows = jnp.arange(B)
+    vm = vals[rows, (j - 1) % Ns]
+    v0 = vals[rows, j]
+    vp = vals[rows, (j + 1) % Ns]
+    denom = vm - 2.0 * v0 + vp
+    delta = jnp.where(denom < 0.0, 0.5 * (vm - vp) / denom, 0.0)
+    return grid[j] + jnp.clip(delta, -0.5, 0.5) / Ns
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
-                                    "ct", "pallas"))
+                                    "ct", "pallas", "seed_phase"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
-                            stats_dtype=None, ct=None, pallas=None):
+                            stats_dtype=None, ct=None, pallas=None,
+                            seed_phase=False):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -324,6 +352,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     (B, nchan) or (nchan,); errs: (B, nchan); weights: optional
     (B, nchan) mask.  nu_fits: (B, 3) or None (defaults to per-item
     mean frequency).
+
+    seed_phase=True overwrites init_params[:, 0] with a brute band-
+    summed phase guess computed in-program (fused into the CT setup
+    kernel on the CT path; from the channel-mean profiles otherwise) —
+    the production seeding, without a separate device dispatch.
 
     Output references use the closed-form zero-covariance branches (the
     polynomial GM branches are host-only; batched GM fits re-reference at
@@ -374,17 +407,25 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         prec_str = dft_precision if isinstance(dft_precision, str) else \
             os.environ.get("PP_DFT_PRECISION", "highest")
         mrp, mip = permute_spectrum(shared_mft[0], shared_mft[1], nbin)
-        Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
-                                f0_fact=bool(F0_FACT),
-                                dft_precision=prec_str)
-        M2 = mrp * mrp + mip * mip
-        S0 = jnp.sum(M2, axis=-1)
         dt = data_ports.dtype
         errs_FT = errs.astype(dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
         w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
         w = w * (weights > 0.0)
-        Sd = jnp.sum(w * sd, axis=-1)
         kvec = jnp.asarray(ct_kvec(nbin), dt)
+        if seed_phase:
+            Grp, Gip, sd, gsr, gsi = ct_setup(data_ports, mrp, mip,
+                                              f0_fact=bool(F0_FACT),
+                                              dft_precision=prec_str, w=w)
+            init_params = init_params.at[:, 0].set(
+                _brute_phase_seed(gsr, gsi, kvec).astype(
+                    init_params.dtype))
+        else:
+            Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
+                                    f0_fact=bool(F0_FACT),
+                                    dft_precision=prec_str)
+        M2 = mrp * mrp + mip * mip
+        S0 = jnp.sum(M2, axis=-1)
+        Sd = jnp.sum(w * sd, axis=-1)
         if stats_dtype is not None:
             sdt = jnp.dtype(stats_dtype)
             Grp = Grp.astype(sdt)
@@ -400,6 +441,21 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0, nu_DM=0, nu_GM=0,
             nu_tau=0, Sd=0, S0=None, nbin=None, kvec=None)
         return jax.vmap(_fit_one, in_axes=(axes, 0))(setup_b, init_params)
+
+    if seed_phase:
+        # non-CT fallback: brute phase from the channel-mean profile
+        # cross-spectrum (the pipeline's seeding, pipelines/toas.py:
+        # 392-415, fused into this program)
+        from pulseportraiture_tpu.ops.fourier import rfft_ri
+        mp = data_ports.mean(axis=1)
+        mm = jnp.broadcast_to(model_ports.mean(axis=-2), mp.shape)
+        dr, di = rfft_ri(mp)
+        smr, smi = rfft_ri(mm)
+        gsr = dr * smr + di * smi
+        gsi = di * smr - dr * smi
+        kv = jnp.arange(gsr.shape[-1], dtype=gsr.dtype)
+        init_params = init_params.at[:, 0].set(
+            _brute_phase_seed(gsr, gsi, kv).astype(init_params.dtype))
 
     def one(data, model, x0, P, fr, er, wt, nf):
         setup = stats.make_setup(data, model, er, P, fr, nf[0], nf[1], nf[2],

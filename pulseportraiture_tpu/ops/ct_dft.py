@@ -107,12 +107,23 @@ def _ct_consts_np(nbin: int):
     return E1c, E1s, C2, S2, TC, TS, ALT
 
 
-def _ct_setup_kernel_factory(nbin, f0_fact, prec):
+def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False):
     NQ, M0, NH = ct_geometry(nbin)
     E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
-               alt_ref, gr_ref, gi_ref, sd_ref):
+               alt_ref, *rest):
+        if with_seed:
+            # seed mode: one extra (cblk, 1) weight input and two
+            # (1, NH) outputs accumulating sum_c w_c * G over the
+            # channel-block grid axis — the brute phase seed's
+            # band-summed cross-spectrum for free while G is in VMEM
+            w_ref, gr_ref, gi_ref, sd_ref, gsr_ref, gsi_ref = rest
+            wblk = w_ref[0]                    # (CBLK, 1)
+            seg_r = []
+            seg_i = []
+        else:
+            gr_ref, gi_ref, sd_ref = rest
         C2 = c2_ref[:]
         S2 = s2_ref[:]
         x = x_ref[0]                # (CBLK, nbin); batch dim in grid
@@ -160,10 +171,21 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec):
                 dc2 = Xr[:, :1] * Xr[:, :1] + Xi[:, :1] * Xi[:, :1]
             mr = mr_ref[:, u * M0:(u + 1) * M0]
             mi = mi_ref[:, u * M0:(u + 1) * M0]
-            gr_ref[0, :, u * M0:(u + 1) * M0] = Xr * mr + Xi * mi
-            gi_ref[0, :, u * M0:(u + 1) * M0] = Xi * mr - Xr * mi
+            grv = Xr * mr + Xi * mi
+            giv = Xi * mr - Xr * mi
+            gr_ref[0, :, u * M0:(u + 1) * M0] = grv
+            gi_ref[0, :, u * M0:(u + 1) * M0] = giv
             sd_acc = sd_acc + jnp.sum(Xr * Xr + Xi * Xi, axis=-1,
                                       keepdims=True)
+            if with_seed:
+                if u == 0 and not f0_fact:
+                    # DC position is zeroed in the outputs below
+                    grv = jnp.concatenate(
+                        [jnp.zeros_like(grv[:, :1]), grv[:, 1:]], axis=-1)
+                    giv = jnp.concatenate(
+                        [jnp.zeros_like(giv[:, :1]), giv[:, 1:]], axis=-1)
+                seg_r.append(jnp.sum(wblk * grv, axis=0, keepdims=True))
+                seg_i.append(jnp.sum(wblk * giv, axis=0, keepdims=True))
         # Nyquist position (real-valued harmonic nbin/2)
         mr_n = mr_ref[:, NH - 1:NH]
         mi_n = mi_ref[:, NH - 1:NH]
@@ -177,6 +199,25 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec):
             gi_ref[0, :, 0:1] = zero
             sd_acc = sd_acc - dc2
         sd_ref[0] = sd_acc
+        if with_seed:
+            from jax.experimental import pallas as pl
+            seg_r.append(jnp.sum(wblk * (ny * mr_n), axis=0,
+                                 keepdims=True))
+            seg_i.append(jnp.sum(wblk * (-(ny * mi_n)), axis=0,
+                                 keepdims=True))
+            ssr = jnp.concatenate(seg_r, axis=-1)      # (1, NH)
+            ssi = jnp.concatenate(seg_i, axis=-1)
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _init():
+                gsr_ref[0] = ssr
+                gsi_ref[0] = ssi
+
+            @pl.when(i > 0)
+            def _acc():
+                gsr_ref[0] = gsr_ref[0] + ssr
+                gsi_ref[0] = gsi_ref[0] + ssi
 
     return kernel
 
@@ -184,7 +225,7 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec):
 @functools.partial(jax.jit, static_argnames=("f0_fact", "dft_precision",
                                              "interpret"))
 def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
-             interpret=False):
+             interpret=False, w=None):
     """Fused CT-DFT + cross-spectrum: (Gr_p, Gi_p, sd) in CT order.
 
     x: (nchan, nbin) or batched (B, nchan, nbin) real data; mr_p/mi_p:
@@ -193,6 +234,12 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     materialization (its block index map ignores the batch grid axis).
     sd: per-channel sum_k |dFT_k|^2 (valid harmonics; DC excluded when
     f0_fact is falsy).
+
+    w: optional per-channel weights (nchan,) or (B, nchan).  When given,
+    two extra outputs (gsum_r, gsum_i), each (B, NH) (or (NH,) for 2-D
+    x), accumulate sum_c w_c * G_ck in the same VMEM pass — the
+    band-summed cross-spectrum the brute phase seed needs, without a
+    second read of the spectra (fitters.portrait seed_phase path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -216,52 +263,81 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     mr_p = mr_p.astype(jnp.float32)
     mi_p = mi_p.astype(jnp.float32)
 
+    with_seed = w is not None
+    if with_seed:
+        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32),
+                             (B, nchan))[..., None]    # (B, nchan, 1)
     cblk = 128 if nchan >= 128 else nchan + ((-nchan) % 8)
     pad = (-nchan) % cblk
     if pad:
         x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
         mr_p = jnp.pad(mr_p, [(0, pad), (0, 0)])
         mi_p = jnp.pad(mi_p, [(0, pad), (0, 0)])
+        if with_seed:
+            w = jnp.pad(w, [(0, 0), (0, pad), (0, 0)])
     ntot = nchan + pad
     grid = (B, ntot // cblk)
-    kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec)
+    kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec,
+                                    with_seed=with_seed)
+    out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                  jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                  jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))
+    out_specs = (pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM))
+    if with_seed:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32))
+        out_specs = out_specs + (
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _LANES), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, mr_p, mi_p, jnp.asarray(C2np), jnp.asarray(S2np),
+            jnp.asarray(TCnp), jnp.asarray(TSnp), jnp.asarray(ALTnp)]
+    if with_seed:
+        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w)
     out = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
-                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
-                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32)),
+        out_shape=out_shapes,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NQ, _LANES), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=interpret,
-    )(x, mr_p, mi_p, jnp.asarray(C2np), jnp.asarray(S2np),
-      jnp.asarray(TCnp), jnp.asarray(TSnp), jnp.asarray(ALTnp))
-    Gr_p, Gi_p, sd = out
+    )(*args)
+    Gr_p, Gi_p, sd = out[:3]
     Gr_p = Gr_p[:, :nchan]
     Gi_p = Gi_p[:, :nchan]
     sd = sd[:, :nchan, 0]
+    if with_seed:
+        gsr, gsi = out[3][:, 0], out[4][:, 0]
+        if squeeze:
+            return Gr_p[0], Gi_p[0], sd[0], gsr[0], gsi[0]
+        return Gr_p, Gi_p, sd, gsr, gsi
     if squeeze:
         return Gr_p[0], Gi_p[0], sd[0]
     return Gr_p, Gi_p, sd

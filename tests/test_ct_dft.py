@@ -124,3 +124,40 @@ def test_ct_supported_gates():
     # the layout is a permutation of 0..nbin/2 with Nyquist last
     assert int(kv[-1]) == 1024
     assert sorted(int(v) for v in kv) == list(range(1025))
+
+
+def test_ct_setup_fused_seed_outputs(nbin=512):
+    """ct_setup(w=...) accumulates sum_c w_c * G across channel-block
+    grid steps (the fused brute-seed input; fitters seed_phase path)."""
+    from pulseportraiture_tpu.fitters.stats import model_ft
+    from pulseportraiture_tpu.ops.ct_dft import ct_perm_np, ct_setup
+
+    rng = np.random.default_rng(7)
+    B, nchan = 3, 160          # not a multiple of the channel block
+    x = rng.normal(0, 1, (B, nchan, nbin)).astype(np.float32)
+    model = rng.normal(0, 1, (nchan, nbin)).astype(np.float32)
+    w = rng.uniform(0.0, 2.0, (B, nchan)).astype(np.float32)
+    w[:, 5] = 0.0              # zero-weight channel must not contribute
+    mr, mi = model_ft(jnp.asarray(model), fft_matmul=True,
+                      dft_precision="highest")
+    mrp, mip = permute_spectrum(mr, mi, nbin)
+    out = ct_setup(jnp.asarray(x), mrp, mip, f0_fact=False,
+                   dft_precision="highest", interpret=True,
+                   w=jnp.asarray(w))
+    Gr, Gi, sd, gsr, gsi = out
+    perm = ct_perm_np(nbin)
+    D = np.fft.rfft(x.astype(np.float64), axis=-1)
+    M = np.fft.rfft(model.astype(np.float64), axis=-1)
+    G = D * np.conj(M)
+    G[..., 0] = 0.0
+    Gt = G[..., perm]
+    gsr_t = (w[..., None] * Gt.real).sum(axis=1)
+    gsi_t = (w[..., None] * Gt.imag).sum(axis=1)
+    s = np.abs(gsr_t).max()
+    assert np.abs(np.asarray(gsr) - gsr_t).max() / s < 1e-5
+    assert np.abs(np.asarray(gsi) - gsi_t).max() / s < 1e-5
+    # the 3 plain outputs are unchanged by seed mode
+    Gr2, Gi2, sd2 = ct_setup(jnp.asarray(x), mrp, mip, f0_fact=False,
+                             dft_precision="highest", interpret=True)
+    np.testing.assert_array_equal(np.asarray(Gr), np.asarray(Gr2))
+    np.testing.assert_array_equal(np.asarray(sd), np.asarray(sd2))

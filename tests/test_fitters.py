@@ -345,3 +345,49 @@ def test_batched_GM_fit_matches_single_path():
         np.testing.assert_allclose(np.asarray(bres.param_errs)[b],
                                    np.asarray(s.param_errs), rtol=1e-6,
                                    atol=1e-12)
+
+
+def test_brute_phase_seed_accuracy():
+    """In-program brute seed: <2e-4 turns at any wrap position."""
+    from pulseportraiture_tpu.fitters.portrait import _brute_phase_seed
+
+    nbin = 512
+    prof = np.exp(-0.5 * ((np.arange(nbin) / nbin - 0.4) / 0.02) ** 2)
+    F = np.fft.rfft(prof)
+    k = np.arange(nbin // 2 + 1)
+    for true in (0.0123, -0.37, 0.499, -0.5):
+        G = (F * np.exp(-2j * np.pi * k * true)) * np.conj(F)
+        ph = float(_brute_phase_seed(
+            jnp.asarray(G.real, jnp.float64)[None],
+            jnp.asarray(G.imag, jnp.float64)[None],
+            jnp.asarray(k, jnp.float64))[0])
+        d = (ph - true + 0.5) % 1.0 - 0.5
+        assert abs(d) < 2e-4, (true, ph)
+
+
+def test_fit_batch_seed_phase_matches_seeded_init():
+    """seed_phase=True recovers large injected shifts from zero init
+    (the fused production seeding; bench.py uses this path)."""
+    model, freqs = make_model(nchan=16, nbin=256)
+    nchan, nbin = model.shape
+    P, nu_fit = 0.003, float(np.asarray(freqs).mean())
+    phis = np.array([0.01, -0.2, 0.35, 0.49])
+    B = len(phis)
+    noise = 0.01
+    datas = []
+    for p in phis:
+        d = np.asarray(rotate_portrait(jnp.asarray(model), -p))
+        datas.append(d + RNG.normal(0, noise, d.shape))
+    datas = jnp.asarray(np.stack(datas))
+    res = fit_portrait_full_batch(
+        datas, model, jnp.zeros((B, 5)), jnp.full(B, P), freqs,
+        jnp.full((B, nchan), noise), nu_fits=jnp.full((B, 3), nu_fit),
+        fit_flags=(1, 1, 0, 0, 0), log10_tau=False, scattering=False,
+        seed_phase=True)
+    phf = np.array([float(phase_transform(res.params[i, 0],
+                                          res.params[i, 1], res.nu_DM[i],
+                                          nu_fit, P, mod=True))
+                    for i in range(B)])
+    d = (phf - phis + 0.5) % 1.0 - 0.5
+    assert np.abs(d).max() < 5 * np.asarray(res.param_errs)[:, 0].max() \
+        + 1e-6, d
