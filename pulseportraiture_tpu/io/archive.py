@@ -113,41 +113,55 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
     ok_ichans = [np.compress(weights_norm[isub], range(nchan))
                  for isub in range(nsub)]
-    masks = np.einsum("ij,k->ijk", weights_norm, np.ones(nbin))
-    masks = np.einsum("j,ikl->ijkl", np.ones(npol), masks)
     SNRs = np.array(get_SNR(subints))
-    # profile stats on the scrunched copy
-    prof_arch = arch.copy()
-    prof_arch.pscrunch()
     if flux_prof:
-        fl = prof_arch.copy()
+        fl = arch.copy()
+        fl.pscrunch()
         fl.dedisperse()
         fl.tscrunch()
         flux_prof_arr = fl.data.mean(axis=3)[0][0]
     else:
         flux_prof_arr = np.array([])
-    prof_arch.dedisperse()
-    prof_arch.tscrunch()
-    prof_arch.fscrunch()
-    prof = prof_arch.data[0, 0, 0]
-    prof_noise = float(get_noise_PS(prof))
-    prof_SNR = float(get_SNR(prof))
     if not quiet:
         print(f"Read {filename}: {source} P={Ps[0] * 1000:.3f} ms "
               f"DM={DM:.6f} {nchan}x{nbin} nsub={nsub} state={arch.state}")
-    return DataBunch(
+    data = DataBunch(
         arch=arch if return_arch else None, backend=backend,
         backend_delay=backend_delay, bw=bw,
         doppler_factors=doppler_factors, DM=DM, dmc=dmc, epochs=epochs,
         filename=filename, flux_prof=flux_prof_arr, freqs=freqs,
         frontend=frontend, integration_length=integration_length,
-        masks=masks, nbin=nbin, nchan=nchan, noise_stds=noise_stds,
+        nbin=nbin, nchan=nchan, noise_stds=noise_stds,
         npol=npol, nsub=nsub, nu0=nu0, ok_ichans=ok_ichans,
         ok_isubs=ok_isubs, parallactic_angles=parallactic_angles,
-        phases=phases, prof=prof, prof_noise=prof_noise, prof_SNR=prof_SNR,
+        phases=phases,
         Ps=Ps, SNRs=SNRs, source=source, state=arch.state, subints=subints,
         subtimes=subtimes, telescope=telescope, telescope_code=tcode,
         weights=weights)
+
+    # diagnostic fields the TOA pipeline never touches are lazy: masks
+    # is an (nsub, npol, nchan, nbin) broadcast and the profile stats
+    # cost a full-archive copy + f64 dedispersion FFT — they
+    # materialize (cached) on first attribute access (DataPortrait /
+    # ppgauss use them; GetTOAs over a 1000-epoch campaign must not
+    # pay for them per archive)
+    def _masks():
+        m = np.einsum("ij,k->ijk", weights_norm, np.ones(nbin))
+        return np.einsum("j,ikl->ijkl", np.ones(npol), m)
+
+    def _prof_arch():
+        pa = arch.copy()
+        pa.pscrunch()
+        pa.dedisperse()
+        pa.tscrunch()
+        pa.fscrunch()
+        return pa.data[0, 0, 0]
+
+    data.add_lazy("masks", _masks)
+    data.add_lazy("prof", _prof_arch)
+    data.add_lazy("prof_noise", lambda: float(get_noise_PS(data.prof)))
+    data.add_lazy("prof_SNR", lambda: float(get_SNR(data.prof)))
+    return data
 
 
 def unload_new_archive(data, arch: Archive, outfile, DM=None, dmc=0,

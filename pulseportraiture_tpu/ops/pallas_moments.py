@@ -41,7 +41,12 @@ def _chan_block(nchan, cap=256):
     """Channels per program: large blocks amortize grid overhead; small
     portraits get one padded-to-sublane block (16 covers the bf16 tile).
     cap bounds the scoped-VMEM footprint (the 9-accumulator scattering
-    kernel overflows the 16 MB scoped limit above 64 channels/program)."""
+    kernel overflows the 16 MB scoped limit above 64 channels/program).
+    PP_MOMENTS_CBLK overrides the phase-kernel cap (perf experiments)."""
+    import os
+    env = os.environ.get("PP_MOMENTS_CBLK")
+    if env and cap >= 256:
+        cap = int(env)
     if nchan >= cap:
         return cap
     return nchan + ((-nchan) % 16)
@@ -124,41 +129,41 @@ def _phase_kernel_kvec(phis_ref, k_ref, gr_ref, gi_ref, out_ref):
 
 def _make_phase_kernel_ct(NQ):
     """Factored-phasor moments kernel for the CT layout of ops.ct_dft:
-    position p = u*64 + m holds k = NQ*m + u; each 128-lane group is
-    two 64-lane u-blocks, so e^{2 pi i phi k} factors into a 64-lane
-    m-pattern (shared by all groups; NQ*phi is exact, NQ a power of 2)
-    times one scalar u-phasor per half."""
-
+    position p = u*64 + m holds k = NQ*m + u.  Group g's 128 lanes are
+    the u = 2g and u = 2g+1 blocks, i.e. k = k0 + 2g with the FIXED
+    lane pattern k0 = [NQ*m | NQ*m + 1] — so the group phasor is the
+    base phasor P0 = e^{2 pi i phi k0} (double-single trig, once)
+    rotated by the per-channel scalar e^{2 pi i phi 2g}.  No per-group
+    lane concatenates/broadcasts: the harmonic weights k0+2g and
+    (k0+2g)^2 are trace-time constants, and the rotation is 6 FMAs on
+    full lane vectors — the kernel streams Gr/Gi at close to the
+    2-stream HBM ceiling instead of burning VPU issue slots on copies."""
     def kernel(phis_ref, gr_ref, gi_ref, out_ref):
         phis = phis_ref[:]
         p = phis[:, 0]
         nk = gr_ref.shape[-1]
         ngroups = nk // _LANES
-        m64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1).astype(
-            jnp.float32)
-        cm, sm = _phase_trig(jnp.float32(NQ) * p, m64)    # (CBLK, 64)
-        cmt = jnp.concatenate([cm, cm], axis=-1)          # (CBLK, 128)
-        smt = jnp.concatenate([sm, sm], axis=-1)
-        ku = jax.lax.broadcasted_iota(jnp.int32, (1, NQ), 1).astype(
-            jnp.float32)
-        cu, su = _phase_trig(p, ku)                       # (CBLK, NQ)
-        km = jnp.float32(NQ) * m64                        # (1, 64)
-        cb = cm.shape[0]
+        # lane pattern k0 = [NQ*m | NQ*m + 1] built from iota (Mosaic
+        # rejects captured host constants; integer iota only)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        k0 = (NQ * (lane % 64) + lane // 64).astype(jnp.float32)
+        P0r, P0i = _phase_trig(p, k0)                     # (CBLK, 128)
+        g2 = (2.0 * jax.lax.broadcasted_iota(
+            jnp.int32, (1, ngroups), 1).astype(jnp.float32))
+        cg, sg = _phase_trig(p, g2)                       # (CBLK, ngroups)
         accC = None
         accCp = None
         accCpp = None
         for g in range(ngroups):
-            u0, u1 = 2 * g, 2 * g + 1
-            cuv = jnp.concatenate(
-                [jnp.broadcast_to(cu[:, u0:u0 + 1], (cb, 64)),
-                 jnp.broadcast_to(cu[:, u1:u1 + 1], (cb, 64))], axis=-1)
-            suv = jnp.concatenate(
-                [jnp.broadcast_to(su[:, u0:u0 + 1], (cb, 64)),
-                 jnp.broadcast_to(su[:, u1:u1 + 1], (cb, 64))], axis=-1)
-            Pr = cmt * cuv - smt * suv
-            Pi = cmt * suv + smt * cuv
-            w1 = jnp.concatenate([km + jnp.float32(u0),
-                                  km + jnp.float32(u1)], axis=-1)
+            if g == 0:
+                Pr, Pi = P0r, P0i
+            else:
+                cgg = cg[:, g:g + 1]
+                sgg = sg[:, g:g + 1]
+                Pr = P0r * cgg - P0i * sgg
+                Pi = P0r * sgg + P0i * cgg
+            w1 = k0 + jnp.float32(2 * g)
+            w2 = w1 * w1
             sl = slice(g * _LANES, (g + 1) * _LANES)
             gr = gr_ref[:, sl].astype(jnp.float32)
             gi = gi_ref[:, sl].astype(jnp.float32)
@@ -167,7 +172,7 @@ def _make_phase_kernel_ct(NQ):
             accC = zr if accC is None else accC + zr
             t = w1 * zi
             accCp = t if accCp is None else accCp + t
-            t2 = (w1 * w1) * zr
+            t2 = w2 * zr
             accCpp = t2 if accCpp is None else accCpp + t2
         C = jnp.sum(accC, axis=-1)
         Cp = (-TWO_PI) * jnp.sum(accCp, axis=-1)

@@ -101,7 +101,7 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
                                  nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                                  log10_tau=True, max_iter=100,
                                  scattering=None, dft_precision="high",
-                                 interpret=None):
+                                 interpret=None, seed_phase=False):
     """Multi-chip fit with the fused CT setup running per shard.
 
     pallas_call does not partition under GSPMD, so the CT kernel runs
@@ -147,26 +147,54 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
     mrp = jax.device_put(mrp, s_spec)
     mip = jax.device_put(mip, s_spec)
 
-    def local_setup(d, a, b):
-        return ct_setup(d, a, b, f0_fact=bool(F0_FACT),
-                        dft_precision=dft_precision, interpret=interpret)
-
-    # pallas_call's out_shape carries no varying-mesh-axes annotation,
-    # so the vma/replication check must be off
-    Grp, Gip, sd = jax.shard_map(
-        local_setup, mesh=mesh,
-        in_specs=(P("batch", "chan", None), P("chan", None),
-                  P("chan", None)),
-        out_specs=(P("batch", "chan", None), P("batch", "chan", None),
-                   P("batch", "chan")),
-        check_vma=False)(data_ports, mrp, mip)
-
-    M2 = mrp * mrp + mip * mip
-    S0 = jnp.sum(M2, axis=-1)
     errs_FT = jnp.asarray(errs, dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
     w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
     w = w * (jnp.asarray(weights) > 0.0)
     w = jax.device_put(w, s_chan)
+
+    # pallas_call's out_shape carries no varying-mesh-axes annotation,
+    # so the vma/replication check must be off
+    if seed_phase:
+        def local_setup_seed(d, a, b, wl):
+            Grp, Gip, sd, gsr, gsi = ct_setup(
+                d, a, b, f0_fact=bool(F0_FACT),
+                dft_precision=dft_precision, interpret=interpret, w=wl)
+            # close the channel-sharded band sum for the brute seed:
+            # one (B_local, NH) psum over 'chan' on ICI
+            gsr = jax.lax.psum(gsr, "chan")
+            gsi = jax.lax.psum(gsi, "chan")
+            return Grp, Gip, sd, gsr, gsi
+
+        Grp, Gip, sd, gsr, gsi = jax.shard_map(
+            local_setup_seed, mesh=mesh,
+            in_specs=(P("batch", "chan", None), P("chan", None),
+                      P("chan", None), P("batch", "chan")),
+            out_specs=(P("batch", "chan", None),
+                       P("batch", "chan", None), P("batch", "chan"),
+                       P("batch", None), P("batch", None)),
+            check_vma=False)(data_ports, mrp, mip, w)
+        from pulseportraiture_tpu.fitters.portrait import \
+            _brute_phase_seed
+        phi0 = _brute_phase_seed(gsr, gsi,
+                                 jnp.asarray(ct_kvec(nbin), dt))
+        init_params = jnp.asarray(init_params, dt).at[:, 0].set(
+            phi0.astype(dt))
+    else:
+        def local_setup(d, a, b):
+            return ct_setup(d, a, b, f0_fact=bool(F0_FACT),
+                            dft_precision=dft_precision,
+                            interpret=interpret)
+
+        Grp, Gip, sd = jax.shard_map(
+            local_setup, mesh=mesh,
+            in_specs=(P("batch", "chan", None), P("chan", None),
+                      P("chan", None)),
+            out_specs=(P("batch", "chan", None),
+                       P("batch", "chan", None), P("batch", "chan")),
+            check_vma=False)(data_ports, mrp, mip)
+
+    M2 = mrp * mrp + mip * mip
+    S0 = jnp.sum(M2, axis=-1)
     Sd = jnp.sum(w * sd, axis=-1)
     setup_b = stats.FitSetup(
         Gr=Grp, Gi=Gip, M2=M2, w=w,

@@ -50,7 +50,14 @@ class DataPortrait:
                          flux_prof=True, quiet=quiet, **kwargs)
         self.data = data
         for key, value in data.items():
-            setattr(self, key, value)
+            if key != "_lazy":
+                setattr(self, key, value)
+        # materialize the lazily-computed record fields this class uses
+        # (load_data defers them; see utils.DataBunch.add_lazy)
+        self.masks = data.masks
+        self.prof = data.prof
+        self.prof_noise = data.prof_noise
+        self.prof_SNR = data.prof_SNR
         if self.source is None:
             self.source = "noname"
         self.port = (self.masks * self.subints)[0, 0]

@@ -13,12 +13,35 @@ import numpy as np
 class DataBunch(dict):
     """dict with attribute access; universal result/record type.
 
+    Expensive fields may be registered lazily (add_lazy): the thunk runs
+    on first attribute access and the result is cached in place.  The
+    TOA pipeline loads thousands of archives but never touches the
+    diagnostic fields (masks, scrunched profile stats) — laziness keeps
+    load_data's cost proportional to what a caller actually uses.
+
     Reference: pplib.py:125-136.
     """
 
     def __init__(self, **kwds):
         super().__init__(**kwds)
         self.__dict__ = self
+
+    def add_lazy(self, name, thunk):
+        self.setdefault("_lazy", {})[name] = thunk
+
+    def __getattr__(self, name):
+        thunks = dict.get(self, "_lazy")
+        if thunks is not None and name in thunks:
+            val = thunks.pop(name)()
+            self[name] = val
+            return val
+        raise AttributeError(name)
+
+    def __contains__(self, name):
+        if dict.__contains__(self, name):
+            return True
+        thunks = dict.get(self, "_lazy")
+        return bool(thunks) and name in thunks
 
 
 def get_bin_centers(nbin: int, lo: float = 0.0, hi: float = 1.0) -> np.ndarray:

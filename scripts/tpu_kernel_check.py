@@ -26,11 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def timed(fn, fetch, reps=10):
-    """Pipelined seconds/call: queue reps calls, fetch a small output."""
-    fetch(fn())                      # warm (compile)
+def timed(fn, fetch, reps=10, args=()):
+    """Pipelined seconds/call: queue reps calls, fetch a small output.
+
+    Operands must be passed via args, NOT closed over: the remote-TPU
+    compile helper ships closure constants in the HTTP request body and
+    rejects bodies over ~100 MB (HTTP 413).
+    """
+    fetch(fn(*args))                 # warm (compile)
     t0 = time.time()
-    outs = [fn() for _ in range(reps)]
+    outs = [fn(*args) for _ in range(reps)]
     fetch(outs[-1])
     return (time.time() - t0) / reps
 
@@ -179,49 +184,53 @@ def main():
     # single-item rows above are overhead-dominated at 33 MB. ----
     B = args.batch if on_tpu else min(args.batch, 2)
     if B > 1:
-        GrB = jax.device_put(jnp.broadcast_to(Gr_p, (B,) + Gr_p.shape))
-        GiB = jax.device_put(jnp.broadcast_to(Gi_p, (B,) + Gi_p.shape))
-        phB = jax.device_put(jnp.broadcast_to(phis_d, (B, nchan)))
-        tauB = jax.device_put(jnp.broadcast_to(taus_d, (B, nchan)))
-        GrB, GiB = jax.jit(lambda a, b: (a + 0.0, b + 0.0))(GrB, GiB)
+        tile = jax.jit(lambda a: jnp.broadcast_to(
+            a, (B,) + a.shape) + 0.0)
+        GrB = tile(Gr_p)
+        GiB = tile(Gi_p)
+        phB = tile(phis_d)
+        tauB = tile(taus_d)
         bph = B * bytes_phase
-        f = jax.jit(lambda: jax.vmap(
-            lambda p, a, b: pallas_moments.phase_moments(
-                p, a, b, kvec=kvec, interpret=interp))(phB, GrB, GiB))
-        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps)
+        f = jax.jit(lambda ph, a, b: jax.vmap(
+            lambda p, x, y: pallas_moments.phase_moments(
+                p, x, y, kvec=kvec, interpret=interp))(ph, a, b))
+        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps,
+                   args=(phB, GrB, GiB))
         print(f"B{B:<3d} phase CT     {dt*1e3:8.2f} ms  "
               f"{bph/dt/1e9:6.1f} GB/s")
-        f = jax.jit(lambda: jax.vmap(
-            lambda p, a, b: pallas_moments.phase_moments_reference(
-                p, a, b, kvec=kvec))(phB, GrB, GiB))
-        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps)
+        f = jax.jit(lambda ph, a, b: jax.vmap(
+            lambda p, x, y: pallas_moments.phase_moments_reference(
+                p, x, y, kvec=kvec))(ph, a, b))
+        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps,
+                   args=(phB, GrB, GiB))
         print(f"B{B:<3d} phase XLA    {dt*1e3:8.2f} ms  "
               f"{bph/dt/1e9:6.1f} GB/s")
         bsc = B * 2 * 4 * nchan * NH + 4 * nchan * NH   # M2 shared
-        f = jax.jit(lambda: jax.vmap(
-            lambda p, t, a, b: pallas_moments.scattering_moments(
-                p, t, a, b, M2, kvec=kvec, interpret=interp))(
-            phB, tauB, GrB, GiB))
-        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps)
+        f = jax.jit(lambda ph, ta, a, b, m2: jax.vmap(
+            lambda p, t, x, y: pallas_moments.scattering_moments(
+                p, t, x, y, m2, kvec=kvec, interpret=interp))(
+            ph, ta, a, b))
+        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps,
+                   args=(phB, tauB, GrB, GiB, M2))
         print(f"B{B:<3d} scat CT      {dt*1e3:8.2f} ms  "
               f"{bsc/dt/1e9:6.1f} GB/s")
-        f = jax.jit(lambda: jax.vmap(
-            lambda p, t, a, b: pallas_moments._scat_terms_ref(
-                p, t, a, b, M2, kvec))(phB, tauB, GrB, GiB))
-        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps)
+        f = jax.jit(lambda ph, ta, a, b, m2: jax.vmap(
+            lambda p, t, x, y: pallas_moments._scat_terms_ref(
+                p, t, x, y, m2, kvec))(ph, ta, a, b))
+        dt = timed(f, lambda o: np.asarray(o[0][:, :2]), reps,
+                   args=(phB, tauB, GrB, GiB, M2))
         print(f"B{B:<3d} scat XLA     {dt*1e3:8.2f} ms  "
               f"{bsc/dt/1e9:6.1f} GB/s")
-        f = jax.jit(lambda: jnp.sum(GrB + 2.0 * GiB, axis=(1, 2)))
-        dt = timed(f, lambda o: np.asarray(o), reps)
+        f = jax.jit(lambda a, b: jnp.sum(a + 2.0 * b, axis=(1, 2)))
+        dt = timed(f, lambda o: np.asarray(o), reps, args=(GrB, GiB))
         print(f"B{B:<3d} 2-stream     {dt*1e3:8.2f} ms  "
               f"{bph/dt/1e9:6.1f} GB/s (ceiling)")
-        xB = jax.device_put(jnp.broadcast_to(xd, (B,) + xd.shape))
-        xB = jax.jit(lambda a: a + 0.0)(xB)
-        f = jax.jit(lambda: ct_dft.ct_setup(xB, mr_p, mi_p,
-                                            f0_fact=False,
-                                            dft_precision="high",
-                                            interpret=interp))
-        dt = timed(f, lambda o: np.asarray(o[2][:, :2]), reps)
+        xB = tile(xd)
+        f = jax.jit(lambda xx, a, b: ct_dft.ct_setup(
+            xx, a, b, f0_fact=False, dft_precision="high",
+            interpret=interp))
+        dt = timed(f, lambda o: np.asarray(o[2][:, :2]), reps,
+                   args=(xB, mr_p, mi_p))
         bst = B * (4 * nchan * nbin + 2 * 4 * nchan * NH)
         print(f"B{B:<3d} ct_setup     {dt*1e3:8.2f} ms  "
               f"{bst/dt/1e9:6.1f} GB/s (r+w)")

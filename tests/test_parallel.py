@@ -200,3 +200,46 @@ def test_sharded_ct_setup_matches_single_device(problem):
                                rtol=0, atol=5e-6)
     np.testing.assert_allclose(np.asarray(res_ct.chi2),
                                np.asarray(res_single.chi2), rtol=1e-4)
+
+
+def test_sharded_ct_seed_phase_recovers_large_shift():
+    """seed_phase=True on the shard_map CT path: the fused in-kernel
+    band-sum + chan-psum seed recovers a large injected shift from zero
+    init, and matches the unsharded seeded fit (production multi-chip
+    route in GetTOAs(mesh=...))."""
+    from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
+    from pulseportraiture_tpu.parallel.mesh import \
+        fit_portrait_full_sharded_ct
+
+    rng = np.random.default_rng(11)
+    B, nchan, nbin = 4, 16, 256
+    fr = np.linspace(1100.0, 1900.0, nchan)
+    x = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((x - 0.4) / 0.03) ** 2)
+    model1 = prof[None, :] * (fr[:, None] / 1500.0) ** -1.3
+    shifts = [0.31, -0.22, 0.05, 0.49]
+    data = np.stack([rotate_portrait_np(model1, -s, 0.0, 0.003, fr,
+                                        1500.0) for s in shifts])
+    data = jnp.asarray(data + rng.normal(0, 0.02, data.shape))
+    init = jnp.zeros((B, 5))
+    Ps = jnp.full(B, 0.003)
+    errs = jnp.full((B, nchan), 0.02)
+    mesh = make_mesh(n_batch=4, n_chan=2)
+    res_ct = fit_portrait_full_sharded_ct(
+        mesh, data, jnp.asarray(model1), init, Ps, jnp.asarray(fr),
+        errs, fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=30,
+        scattering=False, seed_phase=True)
+    res_single = fit_portrait_full_batch(
+        data, jnp.asarray(model1), init, Ps, jnp.asarray(fr), errs,
+        fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=30,
+        scattering=False, seed_phase=True, ct=False, pallas=False)
+    np.testing.assert_allclose(np.asarray(res_ct.params)[:, :2],
+                               np.asarray(res_single.params)[:, :2],
+                               rtol=0, atol=5e-6)
+    from pulseportraiture_tpu.ops.transform import phase_transform
+    for i, s in enumerate(shifts):
+        ph = float(phase_transform(res_ct.params[i, 0],
+                                   res_ct.params[i, 1], res_ct.nu_DM[i],
+                                   1500.0, 0.003, mod=True))
+        d = (ph - s + 0.5) % 1.0 - 0.5
+        assert abs(d) < 1e-3, (s, ph)
