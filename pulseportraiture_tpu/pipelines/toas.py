@@ -410,8 +410,10 @@ class GetTOAs:
             data["subints"] = None
             if data.arch is not None:
                 data.arch.data = None
+            n_batch = sum(1 for p in preps
+                          if batchable_ok and p["sub_flags"] == fit_flags)
             return dict(df=df, data=data, DM0_arch=DM0_arch,
-                        preps=preps, nbin=nbin)
+                        preps=preps, nbin=nbin, n_batch=n_batch)
 
         def _jobs_iter():
             """Producer-thread prefetch of archive jobs (PP_PREFETCH=0
@@ -483,7 +485,6 @@ class GetTOAs:
             fit_portrait_full_batch
         results = {}
         arch_jobs = []
-        needs_guess = []
         buffers = {}
         inflight = []
         DEPTH = max(1, int(os.environ.get("PP_INFLIGHT", "2")))
@@ -501,6 +502,10 @@ class GetTOAs:
                 results[(iarch, p["isub"])] = (
                     jax.tree_util.tree_map(lambda x, i=i: x[i],
                                            bres_np), dur)
+                done_counts[iarch] = done_counts.get(iarch, 0) + 1
+            # assemble every archive whose fits are all in: TOA
+            # assembly overlaps device compute of queued chunks
+            _drain_assembly()
 
         def _dispatch(shape, items):
             part = list(items)
@@ -599,31 +604,13 @@ class GetTOAs:
             while len(inflight) > DEPTH:
                 _fetch_oldest()
 
-        for job in _jobs_iter():
-            if job is None:
-                continue
-            iarch = len(arch_jobs)
-            arch_jobs.append(job)
-            for p in job["preps"]:
-                if batchable_ok and p["sub_flags"] == fit_flags:
-                    buffers.setdefault(p["port"].shape, []).append(
-                        (iarch, p))
-                else:
-                    needs_guess.append(p)
-            for shape, items in buffers.items():
-                chunk = _auto_fit_chunk(shape)
-                while len(items) >= chunk:
-                    _dispatch(shape, items[:chunk])
-                    del items[:chunk]
-        for shape, items in buffers.items():
-            if items:
-                _dispatch(shape, items)
-        while inflight:
-            _fetch_oldest()
-        _fill_phase_guesses(needs_guess)
-
-        # ---- assembly pass (per archive) ----
-        for iarch, job in enumerate(arch_jobs):
+        # ---- assembly (per archive, in archive order).  Called
+        # incrementally as soon as all of an archive's batched fits
+        # have been fetched, so host-side TOA assembly overlaps device
+        # compute of later chunks. ----
+        def _assemble_archive(iarch):
+            nonlocal tot_duration
+            job = arch_jobs[iarch]
             df = job["df"]
             data = job["data"]
             DM0_arch = job["DM0_arch"]
@@ -864,6 +851,52 @@ class GetTOAs:
             if show_plot:
                 for isub_p in ok_isubs:
                     self.show_fit(datafile=df, isub=isub_p, show=True)
+
+        next_assemble = 0
+        done_counts = {}
+
+        def _drain_assembly():
+            nonlocal next_assemble
+            while next_assemble < len(arch_jobs):
+                job = arch_jobs[next_assemble]
+                if done_counts.get(next_assemble, 0) < job["n_batch"]:
+                    return
+                # fill brute phase guesses for this archive's
+                # per-subint-fitted preps (rare: degenerate flags or
+                # user nu_refs)
+                plist = [p for p in job["preps"] if "mean_prof" in p]
+                if plist:
+                    _fill_phase_guesses(plist)
+                _assemble_archive(next_assemble)
+                next_assemble += 1
+
+        # ---- streaming driver ----
+        for job in _jobs_iter():
+            if job is None:
+                continue
+            iarch = len(arch_jobs)
+            arch_jobs.append(job)
+            for p in job["preps"]:
+                if batchable_ok and p["sub_flags"] == fit_flags:
+                    buffers.setdefault(p["port"].shape, []).append(
+                        (iarch, p))
+            for shape, items in buffers.items():
+                # stream in sub-chunks: waiting for the full
+                # memory-derived chunk would defer every dispatch to
+                # the final flush (no load/fit overlap); 64-item chunks
+                # amortize dispatch latency while keeping the pipeline
+                # flowing
+                chunk = min(_auto_fit_chunk(shape),
+                            int(os.environ.get("PP_STREAM_CHUNK", "64")))
+                while len(items) >= chunk:
+                    _dispatch(shape, items[:chunk])
+                    del items[:chunk]
+        for shape, items in buffers.items():
+            if items:
+                _dispatch(shape, items)
+        while inflight:
+            _fetch_oldest()
+        _drain_assembly()
 
         if not quiet:
             ntoa = len(self.TOA_list)

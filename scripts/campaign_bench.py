@@ -14,6 +14,7 @@ import argparse
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -29,6 +30,10 @@ ap.add_argument("--nbin", type=int, default=512)
 ap.add_argument("--chunk", type=int, default=256)
 ap.add_argument("--platform", default=None)
 ap.add_argument("--keep", action="store_true")
+ap.add_argument("--workdir", default=None,
+                help="reuse this workspace (skip generation if the "
+                     "archives already exist)")
+ap.add_argument("--skip-warm", action="store_true")
 args = ap.parse_args()
 os.environ["PP_FIT_CHUNK"] = str(args.chunk)
 
@@ -50,7 +55,8 @@ from pulseportraiture_tpu.io.mjd import MJD
 from pulseportraiture_tpu.models.gmodel_io import write_model
 from pulseportraiture_tpu.sim.fake import make_fake_pulsar
 
-work = tempfile.mkdtemp(prefix="pp_campaign_")
+work = args.workdir or tempfile.mkdtemp(prefix="pp_campaign_")
+os.makedirs(work, exist_ok=True)
 print(f"workspace: {work}; backend: {jax.default_backend()}", flush=True)
 gmodel = os.path.join(work, "c.gmodel")
 write_model(gmodel, "C", "000", 1500.0,
@@ -64,23 +70,43 @@ with open(par, "w") as f:
 
 rng = np.random.default_rng(0)
 dDMs = rng.normal(3e-4, 2e-4, args.narchive)
-t0 = time.time()
-files = []
-for i in range(args.narchive):
-    f = os.path.join(work, f"c{i:04d}.fits")
-    make_fake_pulsar(gmodel, par, outfile=f, nsub=args.nsub, npol=1,
-                     nchan=args.nchan, nbin=args.nbin, nu0=1500.0,
-                     bw=800.0, tsub=60.0, dDM=dDMs[i],
-                     start_MJD=MJD(57000.0 + 2.0 * i), noise_stds=0.5,
-                     dedispersed=False, quiet=True, rng=rng)
-    files.append(f)
-t_gen = time.time() - t0
-print(f"generated {args.narchive} archives in {t_gen:.1f}s", flush=True)
+files = [os.path.join(work, f"c{i:04d}.fits")
+         for i in range(args.narchive)]
+if not all(os.path.exists(f) for f in files):
+    # archive synthesis runs in a CPU subprocess: on a remote-TPU
+    # backend every make_fake_pulsar device op costs a ~30 ms round
+    # trip (50 archives took 20 minutes through the tunnel)
+    t0 = time.time()
+    gen = subprocess.run(
+        [sys.executable, "-u", "-c", f"""
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+rng = np.random.default_rng(0)
+dDMs = rng.normal(3e-4, 2e-4, {args.narchive})
+for i in range({args.narchive}):
+    make_fake_pulsar({gmodel!r}, {par!r},
+                     outfile={work!r} + "/c%04d.fits" % i,
+                     nsub={args.nsub}, npol=1, nchan={args.nchan},
+                     nbin={args.nbin}, nu0=1500.0, bw=800.0, tsub=60.0,
+                     dDM=dDMs[i], start_MJD=MJD(57000.0 + 2.0 * i),
+                     noise_stds=0.5, dedispersed=False, quiet=True,
+                     rng=rng)
+print("gen done")
+"""], capture_output=True, text=True)
+    assert "gen done" in gen.stdout, gen.stderr[-2000:]
+    print(f"generated {args.narchive} archives in "
+          f"{time.time() - t0:.1f}s", flush=True)
+else:
+    print("reusing existing archives", flush=True)
 
 # warm pass (compiles the bucketed batch shapes; persistent cache
 # makes later processes skip this too)
-gt0 = GetTOAs(files, gmodel, quiet=True)
-gt0.get_TOAs(quiet=True)
+if not args.skip_warm:
+    gt0 = GetTOAs(files, gmodel, quiet=True)
+    gt0.get_TOAs(quiet=True)
 
 t0 = time.time()
 gt = GetTOAs(files, gmodel, quiet=True)
@@ -101,5 +127,5 @@ print(json.dumps({
               "max_abs_dDM_resid": float(np.abs(resid).max()),
               "backend": jax.default_backend()},
 }), flush=True)
-if not args.keep:
+if not args.keep and args.workdir is None:
     shutil.rmtree(work, ignore_errors=True)

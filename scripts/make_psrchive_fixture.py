@@ -111,5 +111,103 @@ def main():
     print(f"wrote {os.path.normpath(OUT)}")
 
 
+OUT4 = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                    "psrchive_4pol.fits")
+
+
+def main_4pol():
+    """tests/fixtures/psrchive_4pol.fits — foreign-file robustness
+    fixture (VERDICT r2 missing #4): 4-pol Coherence state (AABBCRCI),
+    int16-quantized DATA with per-(pol,chan) DAT_SCL/DAT_OFFS, a
+    DESCENDING frequency band, and a 3-block POLYCO with irregular
+    validity spans where TEMPO span-based block selection picks a
+    different block than nearest-REF_MJD would."""
+    NSUB, NPOL, NCHAN, NBIN = 2, 4, 4, 64
+    start_frac = STT_SMJD / 86400.0
+    start = STT_IMJD + start_frac
+    primary = fits.HDU(header={
+        "FITSTYPE": "PSRFITS", "HDRVER": "6.1", "OBS_MODE": "PSR",
+        "SRC_NAME": "J0000+00", "TELESCOP": "GBT", "FRONTEND": "Rcvr1_2",
+        "BACKEND": "GUPPI", "OBSFREQ": 1500.0, "OBSBW": -200.0,
+        "OBSNCHAN": NCHAN, "STT_IMJD": STT_IMJD, "STT_SMJD": STT_SMJD,
+        "STT_OFFS": 0.0,
+    }, name="PRIMARY")
+    par_lines = ["PSR             J0000+00", "RAJ       00:01:02.345",
+                 "DECJ     -04:05:06.789", f"F0      {F0_PAR!r}",
+                 "PEPOCH        57202.0", f"DM      {DM!r}"]
+    param = fits.HDU(columns={
+        "PARAM": np.asarray(par_lines, dtype="S60")}, name="PSRPARAM")
+    history = fits.HDU(columns={
+        "DATE_PRO": np.asarray(["2026-08-16T00:00:00"], dtype="S24"),
+        "PROC_CMD": np.asarray(["fold"], dtype="S24"),
+        "POL_TYPE": np.asarray(["AABBCRCI"], dtype="S8"),
+        "NSUB": np.array([NSUB], dtype=">i4"),
+        "NBIN": np.array([NBIN], dtype=">i4"),
+        "NCHAN": np.array([NCHAN], dtype=">i4"),
+        "CHAN_DM": np.array([DM], dtype=">f8"),
+        "DEDISP": np.array([1], dtype=">i2"),
+    }, name="HISTORY")
+
+    # three irregular polyco blocks.  Subint epochs sit ~0.4/0.9 min
+    # after obs start: block 0 (REF 6 min early, NSPAN 10) is NEAREST
+    # but its span [-11, -1] min does not contain them; block 1
+    # (REF +72 min, NSPAN 288) does.  TEMPO span semantics must pick
+    # block 1 — its REF_F0 differs by 5e-5 so the choice is detectable
+    # in the folding periods.
+    ncoef = 3
+    coeff = np.zeros((3, ncoef))
+    ref_mjd = np.array([start - 6.0 / 1440.0, start + 72.0 / 1440.0,
+                        start + 2.0], dtype=">f8")
+    ref_f0 = np.array([F0_TOPO * (1.0 + 5e-5), F0_TOPO,
+                       F0_TOPO * (1.0 - 5e-5)], dtype=">f8")
+    polyco = fits.HDU(columns={
+        "NSPAN": np.array([10, 288, 1440], dtype=">i2"),
+        "NCOEF": np.array([ncoef] * 3, dtype=">i2"),
+        "NSITE": np.asarray(["1"] * 3, dtype="S8"),
+        "REF_FREQ": np.array([1500.0] * 3, dtype=">f8"),
+        "REF_MJD": ref_mjd,
+        "REF_PHS": np.array([0.0] * 3, dtype=">f8"),
+        "REF_F0": ref_f0,
+        "COEFF": coeff.astype(">f8"),
+    }, name="POLYCO")
+
+    rng = np.random.default_rng(43)
+    freqs = np.linspace(1600.0 - 25.0, 1400.0 + 25.0, NCHAN)  # descending
+    prof = np.asarray(gaussian_profile(NBIN, 0.3, 0.04))
+    amps = np.linspace(1.0, 0.7, NCHAN)
+    aa = 0.6 * prof[None, :] * amps[:, None]
+    bb = 0.4 * prof[None, :] * amps[:, None]
+    cr = 0.05 * prof[None, :] * amps[:, None]
+    ci = -0.02 * prof[None, :] * amps[:, None]
+    pols = np.stack([aa, bb, cr, ci])               # (npol, nchan, nbin)
+    data = (np.tile(pols, (NSUB, 1, 1, 1)) +
+            rng.normal(0, 0.01, (NSUB, NPOL, NCHAN, NBIN)))
+    # int16 quantization: val = raw * DAT_SCL + DAT_OFFS per (pol, chan)
+    dmin = data.min(axis=-1)                        # (nsub, npol, nchan)
+    dmax = data.max(axis=-1)
+    offs = 0.5 * (dmax + dmin)
+    scl = np.maximum((dmax - dmin) / 65534.0, 1e-12)
+    raw = np.round((data - offs[..., None]) / scl[..., None])
+    raw = np.clip(raw, -32767, 32767).astype(">i2")
+    subint = fits.HDU(columns={
+        "TSUBINT": np.full(NSUB, 30.0, dtype=">f8"),
+        "OFFS_SUB": np.array([22.5, 52.5], dtype=">f8"),
+        "DAT_FREQ": np.tile(freqs, (NSUB, 1)).astype(">f4"),
+        "DAT_WTS": np.ones((NSUB, NCHAN), dtype=">f4"),
+        "DAT_OFFS": offs.reshape(NSUB, -1).astype(">f4"),
+        "DAT_SCL": scl.reshape(NSUB, -1).astype(">f4"),
+        "DATA": raw.reshape(NSUB, -1),
+    }, header={
+        "INT_TYPE": "TIME", "INT_UNIT": "SEC", "SCALE": "FluxDen",
+        "POL_TYPE": "AABBCRCI", "NPOL": NPOL, "TBIN": 1.0 / F0_PAR / NBIN,
+        "NBIN": NBIN, "NCHAN": NCHAN, "CHAN_BW": -50.0, "NSBLK": 1,
+        "EPOCHS": "MIDTIME",
+    }, name="SUBINT")
+    os.makedirs(os.path.dirname(OUT4), exist_ok=True)
+    fits.write_fits(OUT4, [primary, param, history, polyco, subint])
+    print(f"wrote {os.path.normpath(OUT4)}")
+
+
 if __name__ == "__main__":
     main()
+    main_4pol()

@@ -19,6 +19,11 @@ ap.add_argument("--points", default="small", choices=["small", "full"])
 ap.add_argument("--pallas", default=None)
 ap.add_argument("--batch", type=int, default=4)
 ap.add_argument("--platform", default=None)
+ap.add_argument("--scat", action="store_true",
+                help="5-parameter joint scattering fit: inject a "
+                     "tau*(nu/nu0)^alpha scattered portrait and fit "
+                     "fit_flags=(1,1,0,1,1) with log10_tau (the "
+                     "9-accumulator moments kernel; VERDICT r3 #3)")
 args = ap.parse_args()
 if args.pallas is not None:
     os.environ["PP_PALLAS"] = args.pallas
@@ -48,6 +53,7 @@ POINTS = {
 }[args.points]
 
 B = args.batch
+TAU0, ALPHA0 = 8e-3, -4.0     # [rot] at band center; Kolmogorov-ish
 rng = np.random.default_rng(0)
 for nchan, nbin in POINTS:
     freqs = np.linspace(1100.0, 1900.0, nchan)
@@ -55,19 +61,36 @@ for nchan, nbin in POINTS:
     prof = np.exp(-0.5 * ((x - 0.4) / 0.02) ** 2)
     model = (prof[None] * (freqs[:, None] / 1500.0) ** -1.5).astype(
         np.float32)
-    data = (np.broadcast_to(model, (B, nchan, nbin)) +
+    base = model
+    if args.scat:
+        taus = TAU0 * (freqs / 1500.0) ** ALPHA0
+        k = np.arange(nbin // 2 + 1)
+        ct = 2.0 * np.pi * k[None, :] * taus[:, None]
+        Bk = 1.0 / (1.0 + 1j * ct)       # one-sided exponential FT
+        base = np.fft.irfft(Bk * np.fft.rfft(model, axis=-1), n=nbin,
+                            axis=-1).astype(np.float32)
+    data = (np.broadcast_to(base, (B, nchan, nbin)) +
             rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    if args.scat:
+        init = np.zeros((B, 5), np.float32)
+        init[:, 3] = np.log10(0.5 * TAU0)
+        init[:, 4] = ALPHA0
+        init = jnp.asarray(init)
+        flags, scat, l10 = (1, 1, 0, 1, 1), True, True
+    else:
+        init = jnp.zeros((B, 5), jnp.float32)
+        flags, scat, l10 = (1, 1, 0, 0, 0), False, False
     argsj = (jnp.asarray(data),
              jnp.asarray(np.broadcast_to(model, (B, nchan, nbin))),
-             jnp.zeros((B, 5), jnp.float32), jnp.full(B, 0.003, jnp.float32),
+             init, jnp.full(B, 0.003, jnp.float32),
              jnp.asarray(freqs, jnp.float32),
              jnp.full((B, nchan), 0.1, jnp.float32))
     t0 = time.time()
     try:
         def run():
             return fit_portrait_full_batch(
-                *argsj, fit_flags=(1, 1, 0, 0, 0), log10_tau=False,
-                max_iter=30, fft_matmul=True, scattering=False,
+                *argsj, fit_flags=flags, log10_tau=l10,
+                max_iter=30, fft_matmul=True, scattering=scat,
                 dft_precision="high")
         res = run()
         np.asarray(res.params)   # forced fetch: block_until_ready can
@@ -79,9 +102,20 @@ for nchan, nbin in POINTS:
         rs = [run() for _ in range(reps)]
         np.asarray(rs[-1].params)
         t_run = (time.time() - t0) / reps
+        extra = ""
+        if args.scat:
+            tau_fit = 10.0 ** np.asarray(res.params)[:, 3]
+            # recovered tau at the per-item nu_tau reference,
+            # transported to 1500 MHz with the fitted alpha
+            al = np.asarray(res.params)[:, 4]
+            nut = np.asarray(res.nu_DM) * 0 + np.asarray(res.nu_tau)
+            tau_1500 = tau_fit * (1500.0 / nut) ** al
+            extra = (f"  tau_1500={tau_1500.mean():.2e} "
+                     f"(inj {TAU0:.2e}) alpha={al.mean():+.2f}")
         print(f"{nchan:5d}ch x {nbin:5d}bin: compile+run {t_compile:7.2f}s "
               f"run {t_run:7.4f}s -> {B / t_run:9.1f} fits/s  "
-              f"niter={float(np.asarray(res.niter).mean()):.1f}", flush=True)
+              f"niter={float(np.asarray(res.niter).mean()):.1f}{extra}",
+              flush=True)
     except Exception as e:
         print(f"{nchan:5d}ch x {nbin:5d}bin: FAIL {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)

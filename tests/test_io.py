@@ -395,3 +395,77 @@ def test_convert_state_roundtrip():
                                data[:, 0] + data[:, 1])
     arch.convert_state("Coherence")
     np.testing.assert_allclose(arch.data, data, atol=1e-14)
+
+
+def test_polyco_span_based_block_selection():
+    """TEMPO semantics: the block whose NSPAN validity window contains
+    the epoch wins, even when another block's REF_MJD is nearer
+    (VERDICT r2 missing #4; io/predictor.py)."""
+    from pulseportraiture_tpu.io.predictor import polyco_frequency
+
+    start = 57000.25
+    cols = {
+        "REF_MJD": np.array([start - 6.0 / 1440.0,
+                             start + 72.0 / 1440.0]),
+        "REF_F0": np.array([100.0, 200.0]),
+        "NSPAN": np.array([10, 288]),
+        "NCOEF": np.array([3, 3]),
+        "COEFF": np.zeros((2, 3)),
+    }
+    # epoch 1 min after start: nearest REF is block 0 (6 min) but its
+    # span [-11, -1] min does not contain it; block 1's does
+    f = polyco_frequency(cols, [start + 1.0 / 1440.0])
+    assert f[0] == 200.0
+    # an epoch inside block 0's span uses block 0
+    f = polyco_frequency(cols, [start - 5.0 / 1440.0])
+    assert f[0] == 100.0
+    # outside every span: extrapolate from the nearest block
+    f = polyco_frequency(cols, [start - 200.0 / 1440.0])
+    assert f[0] == 100.0
+    # without NSPAN the nearest-block rule applies
+    cols2 = {k: v for k, v in cols.items() if k != "NSPAN"}
+    f = polyco_frequency(cols2, [start + 1.0 / 1440.0])
+    assert f[0] == 100.0
+
+
+def test_foreign_4pol_coherence_fixture(tmp_path):
+    """4-pol Coherence + int16 quantization + descending band +
+    irregular multi-block POLYCO, through the full get_TOAs path."""
+    import os
+
+    from pulseportraiture_tpu.io.archive import load_data
+    from pulseportraiture_tpu.io.psrfits import read_psrfits
+    from pulseportraiture_tpu.models.gmodel_io import write_model
+    from pulseportraiture_tpu.pipelines.toas import GetTOAs
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "psrchive_4pol.fits")
+    arch = read_psrfits(fix)
+    assert arch.state == "Coherence" and arch.data.shape[1] == 4
+    # descending band preserved
+    assert np.all(np.diff(arch.freqs[0]) < 0)
+    # span-based POLYCO selection: periods come from the containing
+    # block (REF_F0 = F0_TOPO), not the nearest-REF_MJD block
+    F0_TOPO = 345.6789012345 * (1.0 - 8.5e-5)
+    np.testing.assert_allclose(arch.Ps, 1.0 / F0_TOPO, rtol=1e-9)
+    # int16 round trip: pscrunched total intensity has the pulse
+    d = load_data(fix, dededisperse=True, pscrunch=True,
+                  rm_baseline=True, quiet=True)
+    assert d.subints.shape == (2, 1, 4, 64)
+    # per-channel pulses survive the i2 round trip (the channel-mean is
+    # dispersion-smeared: the file re-dispersed at load, DEDISP=1)
+    for c in range(4):
+        p = d.subints[0, 0, c]
+        base = np.sort(p)[:32]
+        assert p.max() > 10 * (base.std() + 1e-6), c
+
+    gmodel = str(tmp_path / "p4.gmodel")
+    write_model(gmodel, "J0000+00", "000", 1500.0,
+                [0.0, 0.0, 0.3, 0.0, 0.04, 0.0, 1.0, 0.0],
+                [1] * 8, -4.0, 0, quiet=True)
+    gt = GetTOAs([fix], gmodel, quiet=True)
+    gt.get_TOAs(quiet=True)
+    assert len(gt.TOA_list) == 2
+    for t in gt.TOA_list:
+        assert np.isfinite(t.TOA_error) and t.TOA_error > 0
+        assert np.isfinite(t.DM)
