@@ -108,12 +108,18 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     subtimes = list(np.asarray(arch.subtimes, dtype=np.float64))
     weights = np.asarray(arch.weights, dtype=np.float64)
     weights_norm = np.where(weights == 0.0, 0.0, 1.0)
-    # per-(sub, pol, chan) off-pulse noise via the PS estimator
-    noise_stds = np.array(get_noise_PS(subints, chans=True))
+    # per-(sub, pol, chan) off-pulse noise via the PS estimator.  The
+    # estimate is an error bar (relative accuracy ~1/sqrt(nbin/8)), so
+    # the FFTs run in float32 — half the host cost of the f64 path on
+    # campaign loads — and the result is carried as f64 for dtype
+    # stability downstream.
+    subints_f32 = np.asarray(arch.data, dtype=np.float32)
+    noise_stds = np.asarray(get_noise_PS(subints_f32, chans=True),
+                            dtype=np.float64)
     ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
     ok_ichans = [np.compress(weights_norm[isub], range(nchan))
                  for isub in range(nsub)]
-    SNRs = np.array(get_SNR(subints))
+    SNRs = np.asarray(get_SNR(subints_f32), dtype=np.float64)
     if flux_prof:
         fl = arch.copy()
         fl.pscrunch()

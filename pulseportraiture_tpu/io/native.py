@@ -26,6 +26,21 @@ def _find_lib():
     for c in cands:
         if c and os.path.exists(c):
             return c
+    # build on first use when the source tree is present (a fresh
+    # checkout otherwise silently runs the slow NumPy fallback; the
+    # build is one g++ invocation, ~2 s).  PP_NATIVE_BUILD=0 disables.
+    src = os.path.join(here, "native", "ppio.cpp")
+    if os.path.exists(src) and \
+            os.environ.get("PP_NATIVE_BUILD", "1") not in ("0", "false"):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.join(here, "native")],
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+        c = os.path.join(here, "native", "libppio.so")
+        if os.path.exists(c):
+            return c
     return None
 
 

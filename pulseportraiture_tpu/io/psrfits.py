@@ -172,9 +172,14 @@ class Archive:
         """
         nbin = self.nbin
         wlen = max(1, int(frac * nbin))
-        csum = np.cumsum(np.concatenate([self.data, self.data[..., :wlen]],
-                                        axis=-1), axis=-1)
-        wmean = (csum[..., wlen:] - csum[..., :-wlen]) / wlen
+        # window search in float32: the baseline estimate's accuracy is
+        # set by noise/sqrt(wlen), far above f32 rounding, and the f32
+        # cumsum pipeline halves this call's cost on campaign loads
+        d32 = np.asarray(self.data, dtype=np.float32)
+        csum = np.cumsum(np.concatenate([d32, d32[..., :wlen]],
+                                        axis=-1, dtype=np.float32),
+                         axis=-1)
+        wmean = (csum[..., wlen:] - csum[..., :-wlen]) / np.float32(wlen)
         # select the window on a further-smoothed curve (PSRCHIVE smooths
         # before taking the minimum): choosing the raw minimum of noisy
         # window means biases the baseline low by ~sqrt(2 ln n)/sqrt(wlen)

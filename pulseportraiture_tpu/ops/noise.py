@@ -33,7 +33,11 @@ def get_noise_PS(data, frac=4, chans=False):
     import jax
 
     if not isinstance(data, jax.core.Tracer):
-        d = np.asarray(data, dtype=np.float64)
+        # keep a float32 input in float32: the estimate is an error bar
+        # and the f32 rfft is ~2x cheaper on campaign loads
+        d = np.asarray(data)
+        if d.dtype not in (np.float32, np.float64):
+            d = d.astype(np.float64)
         if chans:
             n = d.shape[-1]
             FFT = np.fft.rfft(d, axis=-1)
@@ -130,7 +134,9 @@ def get_SNR(prof, fudge=SNR_FUDGE):
     import jax
 
     if not isinstance(prof, jax.core.Tracer):
-        p = np.asarray(prof, dtype=np.float64)
+        p = np.asarray(prof)
+        if p.dtype not in (np.float32, np.float64):
+            p = p.astype(np.float64)
         noise = np.asarray(get_noise_PS(p))
         Weq = p.sum(-1) / p.max(-1)
         mask = np.where(Weq <= 0.0, 0.0, 1.0)

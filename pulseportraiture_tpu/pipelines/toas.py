@@ -330,9 +330,10 @@ class GetTOAs:
                 SNRsx = data.SNRs[isub, 0][okc]
                 errs = np.where(weights > 0, errs_all, 0.0)
 
-                mkey = (freqs.tobytes(), float(P))
-                model = model_cache.get(mkey)
-                if model is None:
+                DM_base = DM0_arch
+                mkey = (freqs.tobytes(), float(P), float(DM_base))
+                cached = model_cache.get(mkey)
+                if cached is None:
                     model = self.model_source.eval(data.phases, freqs, P,
                                                    unscat=fit_scat)
                     if add_instrumental_response and \
@@ -347,7 +348,23 @@ class GetTOAs:
                         model = np.fft.irfft(
                             irf * np.fft.rfft(model, axis=-1),
                             n=nbin, axis=-1)
-                    model_cache[mkey] = model
+                    # base rotation, MODEL side: instead of removing the
+                    # header-DM dispersion from every subint's data (one
+                    # f64 FFT rotation per subint), dispersion is ADDED
+                    # to the shared model once per (freqs, P, DM_base)
+                    # at full f64 precision — exactly equivalent (the
+                    # cross-spectrum picks up the same ramp; equivalence
+                    # test: tests/test_fitters.py) and the device fit
+                    # still solves a small residual dDM around DM_base.
+                    # Anchored at the band mean so phi transport back to
+                    # physical phase uses nu_anchor (assembly below).
+                    nu_anchor = float(freqs.mean())
+                    model_rot = np.asarray(
+                        rotate_portrait_np(model, 0.0, -DM_base, P,
+                                           freqs, nu_anchor), fit_dtype)
+                    cached = (model_rot, nu_anchor)
+                    model_cache[mkey] = cached
+                model, nu_anchor = cached
                 if nu_fits is not None:
                     nu_fit = float(np.atleast_1d(nu_fits)[0])
                 else:
@@ -359,18 +376,10 @@ class GetTOAs:
                     nu_fit = float(nu0 + ((freqsx - nu0) * wgt).sum() /
                                    wgt.sum())
 
-                # base rotation: remove the header-DM dispersion at full
-                # float64 precision on the host, so the device fit solves
-                # for a small residual dDM (phases of many turns never
-                # enter the float32 graph; TPU fits stay at the <1e-9
-                # parity budget).  The rotation is anchored at nu_fit, so
-                # phi at nu_fit is unchanged.  The stored port drops to
-                # the fit dtype (what the device receives anyway) so a
-                # 1000-epoch campaign holds f32, not f64.
-                DM_base = DM0_arch
-                port_fit = rotate_portrait_np(port, 0.0, DM_base, P,
-                                              freqs, nu_fit)
-                port_fit = np.asarray(port_fit, fit_dtype)
+                # the port stays unrotated (dispersion lives in the
+                # model); it drops to the fit dtype (what the device
+                # receives anyway) so a 1000-epoch campaign holds f32
+                port_fit = np.asarray(port, fit_dtype)
                 phase_guess = 0.0  # batch fits seed in-program
                 DM_guess = 0.0  # residual around DM_base
                 sg = scat_guess if scat_guess is not None else \
@@ -394,7 +403,8 @@ class GetTOAs:
                 prep = dict(isub=isub, P=P, freqs=freqs,
                             weights=weights, port=port_fit,
                             errs=errs, okc=okc, model=model,
-                            nu_fit=nu_fit, init=init,
+                            nu_fit=nu_fit, nu_anchor=nu_anchor,
+                            init=init,
                             sub_flags=sub_flags, DM_base=DM_base)
                 if not (batchable_ok and sub_flags == fit_flags):
                     # this subint will be fitted per-subint in the
@@ -663,13 +673,14 @@ class GetTOAs:
                 arch_duration += duration
 
                 # restore the base dispersion (host float64): the graph
-                # fitted dDM around DM_base with the rotation anchored at
-                # nu_fit, so the original data's phase at any nu is the
-                # fitted phase plus the base transport term
+                # fitted dDM around DM_base against the base-rotated
+                # model (anchored at nu_anchor), so the original data's
+                # phase at any nu is the fitted phase plus the base
+                # transport term from the anchor
                 DM_base = prep["DM_base"]
                 phi_rot = float(res.phi)
                 base_shift = DCONST * DM_base / P * (
-                    float(res.nu_DM) ** -2.0 - nu_fit ** -2.0)
+                    float(res.nu_DM) ** -2.0 - prep["nu_anchor"] ** -2.0)
                 phi = (phi_rot + base_shift + 0.5) % 1.0 - 0.5
                 phi_err = float(res.phi_err)
                 DM_fit = DM_base + float(res.DM)

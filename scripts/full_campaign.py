@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""The BASELINE.json full-scale campaign: 1000 epochs x 4096ch x 2048bin
+with ppalign template averaging and ppzap channel flagging.
+
+Flow (BASELINE.json config 5; reference workflow pptoas.py:18-23's
+~1000-file runs):
+  1. synthesize N single-subint epochs with injected per-epoch dDMs
+     (CPU subprocess; reused across runs via --workdir)
+  2. ppalign: align + average the first --ntmpl epochs into a template
+     archive (pipelines/align.align_archives)
+  3. pptoas: GetTOAs over ALL epochs against that template (streamed
+     load -> chunked batched device fits -> incremental assembly)
+  4. ppzap: post-fit chi2 channel flagging (get_channels_to_zap)
+  5. report TOAs/s + dDM-recovery accuracy vs the injected values
+
+Prints ONE JSON line.  Scale down with --narchive/--nchan/--nbin for
+smoke runs; the official configuration is the default.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--narchive", type=int, default=1000)
+ap.add_argument("--ntmpl", type=int, default=16,
+                help="epochs averaged into the ppalign template")
+ap.add_argument("--nchan", type=int, default=4096)
+ap.add_argument("--nbin", type=int, default=2048)
+ap.add_argument("--platform", default=None)
+ap.add_argument("--workdir", default="/tmp/pp_full_campaign")
+ap.add_argument("--gen-only", action="store_true")
+args = ap.parse_args()
+
+import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/pp_jax_compilation_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import numpy as np
+
+work = args.workdir
+os.makedirs(work, exist_ok=True)
+print(f"workspace: {work}; backend: {jax.default_backend()}", flush=True)
+
+from pulseportraiture_tpu import GetTOAs, write_TOAs  # noqa: E402
+from pulseportraiture_tpu.models.gmodel_io import write_model  # noqa: E402
+
+gmodel = os.path.join(work, "c.gmodel")
+write_model(gmodel, "C", "000", 1500.0,
+            [0.0, 0.0, 0.2193, -0.0052, 0.0482, -2.08, 5.13, -1.66,
+             0.2341, -0.0027, 0.0157, 1.615, 9.46, -2.08],
+            [1] * 14, -4.0, 0, quiet=True)
+par = os.path.join(work, "c.par")
+with open(par, "w") as f:
+    f.write("PSR J0000+00\nRAJ 00:01:02\nDECJ 03:04:05\n"
+            "F0 345.678901234\nPEPOCH 50000\nDM 34.5678\n")
+
+rng = np.random.default_rng(0)
+dDMs = rng.normal(3e-4, 2e-4, args.narchive)
+files = [os.path.join(work, f"c{i:04d}.fits")
+         for i in range(args.narchive)]
+missing = [i for i, f in enumerate(files) if not os.path.exists(f)]
+if missing:
+    t0 = time.time()
+    # generation in CPU subprocesses, a slice at a time so a partial
+    # run resumes where it stopped
+    CH = 50
+    for lo in range(0, len(missing), CH):
+        idxs = missing[lo:lo + CH]
+        code = f"""
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from pulseportraiture_tpu.io.mjd import MJD
+from pulseportraiture_tpu.sim.fake import make_fake_pulsar
+rng = np.random.default_rng(0)
+dDMs = rng.normal(3e-4, 2e-4, {args.narchive})
+for i in {idxs!r}:
+    make_fake_pulsar({gmodel!r}, {par!r},
+                     outfile={work!r} + "/c%04d.fits" % i,
+                     nsub=1, npol=1, nchan={args.nchan},
+                     nbin={args.nbin}, nu0=1500.0, bw=800.0, tsub=300.0,
+                     dDM=dDMs[i], start_MJD=MJD(57000.0 + 2.0 * i),
+                     noise_stds=0.5, dedispersed=False, quiet=True,
+                     rng=np.random.default_rng(1000 + i))
+print("gen chunk done")
+"""
+        gen = subprocess.run([sys.executable, "-u", "-c", code],
+                             capture_output=True, text=True)
+        assert "gen chunk done" in gen.stdout, gen.stderr[-2000:]
+        print(f"  generated {min(lo + CH, len(missing))}/{len(missing)} "
+              f"missing archives ({time.time() - t0:.0f}s)", flush=True)
+    print(f"generation: {time.time() - t0:.1f}s", flush=True)
+else:
+    print("reusing existing archives", flush=True)
+if args.gen_only:
+    sys.exit(0)
+
+# ---- ppalign: template from the first ntmpl epochs ----
+from pulseportraiture_tpu.pipelines.align import align_archives  # noqa
+
+tmpl = os.path.join(work, "template.fits")
+t_align0 = time.time()
+if not os.path.exists(tmpl):
+    align_archives(datafiles=files[:args.ntmpl], outfile=tmpl,
+                   niter=1, quiet=True)
+t_align = time.time() - t_align0
+print(f"ppalign template ({args.ntmpl} epochs): {t_align:.1f}s",
+      flush=True)
+
+# ---- pptoas over the full campaign ----
+t0 = time.time()
+gt = GetTOAs(files, tmpl, quiet=True)
+gt.get_TOAs(quiet=True)
+write_TOAs(gt.TOA_list, outfile=os.path.join(work, "campaign.tim"),
+           append=False)
+t_run = time.time() - t0
+ntoa = len(gt.TOA_list)
+
+# ---- ppzap: post-fit chi2 channel flagging ----
+t_zap0 = time.time()
+zap = gt.get_channels_to_zap(SNR_threshold=8.0, rchi2_threshold=1.3,
+                             show=False)
+nzap = sum(len(ch) for arch in gt.zap_channels for ch in arch) \
+    if hasattr(gt, "zap_channels") else 0
+t_zap = time.time() - t_zap0
+
+# accuracy: fitted DeltaDM means vs injected dDMs (the template carries
+# the aligned epochs' mean dDM, so compare against the injected values
+# relative to their mean over the template subset)
+dd = np.asarray(gt.DeltaDM_means)
+resid = dd - dDMs[:len(dd)]
+resid = resid - np.median(resid)        # template zero-point
+err = np.asarray(gt.DeltaDM_errs)
+frac_5sig = float(np.mean(np.abs(resid) <= 5.0 * err + 1e-9))
+print(json.dumps({
+    "metric": f"full campaign TOAs/sec ({args.narchive} epochs x "
+              f"{args.nchan}ch x {args.nbin}bin, ppalign+pptoas+ppzap)",
+    "value": round(ntoa / t_run, 2),
+    "unit": "TOAs/sec",
+    "extra": {"ntoa": ntoa, "wall_s": round(t_run, 1),
+              "align_s": round(t_align, 1), "zap_s": round(t_zap, 1),
+              "nzap_channels": int(nzap),
+              "dDM_resid_rms": float(np.sqrt(np.mean(resid ** 2))),
+              "dDM_resid_within_5sigma": frac_5sig,
+              "backend": jax.default_backend()},
+}), flush=True)

@@ -391,3 +391,33 @@ def test_fit_batch_seed_phase_matches_seeded_init():
     d = (phf - phis + 0.5) % 1.0 - 0.5
     assert np.abs(d).max() < 5 * np.asarray(res.param_errs)[:, 0].max() \
         + 1e-6, d
+
+
+def test_model_side_base_rotation_equivalence():
+    """Fitting unrotated data against a -DM_base-rotated model equals
+    fitting +DM_base-rotated data against the plain model (the pipeline
+    rotates the shared MODEL once per campaign instead of every subint;
+    pipelines/toas.py prep)."""
+    from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
+
+    rng = np.random.default_rng(3)
+    nchan, nbin, P, DMb = 16, 256, 0.003, 34.5678
+    model, freqs = make_model(nchan=nchan, nbin=nbin)
+    nu_fit = float(np.asarray(freqs).mean())
+    port = np.array(rotate_portrait_full(
+        model, -0.0123, -(DMb + 2e-4), 0.0, freqs, nu_fit, np.inf, P=P))
+    port += rng.normal(0, 0.01, port.shape)
+    anchor = nu_fit + 37.0
+    kw = dict(nu_fits=(nu_fit,) * 3, errs=jnp.full(nchan, 0.01),
+              fit_flags=(1, 1, 0, 0, 0), log10_tau=False,
+              scattering=False)
+    pa = rotate_portrait_np(port, 0.0, DMb, P, np.asarray(freqs), anchor)
+    ra, _ = fit_portrait_full(jnp.asarray(pa), model, jnp.zeros(5), P,
+                              freqs, **kw)
+    mb = rotate_portrait_np(np.asarray(model), 0.0, -DMb, P,
+                            np.asarray(freqs), anchor)
+    rb, _ = fit_portrait_full(jnp.asarray(port), jnp.asarray(mb),
+                              jnp.zeros(5), P, freqs, **kw)
+    assert abs(float(ra.phi) - float(rb.phi)) < 1e-9
+    assert abs(float(ra.DM) - float(rb.DM)) < 1e-9
+    assert abs(float(ra.nu_DM) - float(rb.nu_DM)) < 1e-6
