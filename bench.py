@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NCHAN = int(os.environ.get("PP_BENCH_NCHAN", 4096))
 NBIN = int(os.environ.get("PP_BENCH_NBIN", 2048))
-BATCH = int(os.environ.get("PP_BENCH_BATCH", 32))
+BATCH = int(os.environ.get("PP_BENCH_BATCH", 128))
 REPS = int(os.environ.get("PP_BENCH_REPS", 10))
 
 

@@ -44,11 +44,17 @@ TWO_PI = float(2.0 * _np.pi)
 LN10 = float(_np.log(10.0))
 
 
-def _use_pallas_moments(use_pallas=None):
-    """Use the fused Pallas moments kernel: on TPU by default,
-    overridable with PP_PALLAS=0/1 (decided at trace time).
-    use_pallas=False forces the XLA path — required under GSPMD
-    sharding, where pallas_call cannot be partitioned."""
+def _use_pallas_moments(use_pallas=None, kind="phase"):
+    """Use the fused Pallas moments kernel? Kind-aware default from
+    on-chip measurement (PERF.md round-3 kernel self-check + B32
+    component timings): the 9-accumulator *scattering* kernel beats XLA
+    (~7%, one fused pass vs many), so it defaults ON on TPU; the
+    3-moment *phase* kernel lost its edge once seed_phase cut mean
+    Newton iterations below 2 (XLA 138 GB/s vs Pallas CT 88 GB/s at
+    B=32), so it defaults OFF.  PP_PALLAS=0/1 forces both kinds
+    (decided at trace time).  use_pallas=False forces the XLA path —
+    required under GSPMD sharding, where pallas_call cannot be
+    partitioned."""
     if use_pallas is not None:
         return bool(use_pallas)
     import os
@@ -57,7 +63,7 @@ def _use_pallas_moments(use_pallas=None):
     env = os.environ.get("PP_PALLAS")
     if env is not None:
         return env not in ("0", "false", "")
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and kind == "scatter"
 
 
 class FitSetup(NamedTuple):
@@ -261,7 +267,7 @@ def _moments(params, setup, log10_tau, order, scattering=True,
             "S": w * setup.S0,
         }
         zero1 = jnp.zeros_like(setup.freqs)
-        if order == 2 and _use_pallas_moments(use_pallas):
+        if order == 2 and _use_pallas_moments(use_pallas, kind="phase"):
             # fused single-pass TPU kernel (ops/pallas_moments.py)
             from pulseportraiture_tpu.ops.pallas_moments import \
                 phase_moments
@@ -289,7 +295,7 @@ def _moments(params, setup, log10_tau, order, scattering=True,
 
     taus, dtau, d2tau = _taus_and_derivs(params, setup, log10_tau)
 
-    if order == 2 and _use_pallas_moments(use_pallas):
+    if order == 2 and _use_pallas_moments(use_pallas, kind="scatter"):
         # fused single-pass TPU kernel (ops/pallas_moments.py)
         from pulseportraiture_tpu.ops.pallas_moments import \
             scattering_moments

@@ -311,7 +311,8 @@ class GetTOAs:
             except (OSError, ValueError, KeyError, EOFError) as exc:
                 print(f"Skipping {df}: could not load ({exc})")
                 return None
-            self.ok_idatafiles.append(idf)
+            # ok_idatafiles is appended by the (ordered) consumer, not
+            # here: prep may run on a worker pool out of archive order
             nbin = data.nbin
             DM0_arch = data.DM if DM0 is None else DM0
 
@@ -422,39 +423,51 @@ class GetTOAs:
                 data.arch.data = None
             n_batch = sum(1 for p in preps
                           if batchable_ok and p["sub_flags"] == fit_flags)
-            return dict(df=df, data=data, DM0_arch=DM0_arch,
+            return dict(idf=idf, df=df, data=data, DM0_arch=DM0_arch,
                         preps=preps, nbin=nbin, n_batch=n_batch)
 
         def _jobs_iter():
-            """Producer-thread prefetch of archive jobs (PP_PREFETCH=0
-            falls back to inline loading for debugging)."""
+            """Worker-pool prefetch of archive jobs, yielded in archive
+            order (PP_PREFETCH=0 falls back to inline loading for
+            debugging; PP_PREFETCH_WORKERS sets the pool size).  The
+            prep work is numpy/FITS-heavy and releases the GIL, so a
+            small pool overlaps several archive loads against device
+            compute without unbounded memory: at most workers +
+            PP_PREFETCH_DEPTH jobs exist at once."""
             if os.environ.get("PP_PREFETCH", "1") in ("0", "false"):
                 for idf, df in enumerate(datafiles):
-                    yield _prep_archive(idf, df)
+                    job = _prep_archive(idf, df)
+                    if job is not None:
+                        self.ok_idatafiles.append(job["idf"])
+                    yield job
                 return
-            import queue as _queue
-            import threading
-            q = _queue.Queue(maxsize=int(os.environ.get(
-                "PP_PREFETCH_DEPTH", "2")))
-            _stop = object()
-
-            def _run():
+            from concurrent.futures import ThreadPoolExecutor
+            workers = int(os.environ.get("PP_PREFETCH_WORKERS", "0")) or \
+                min(4, max(1, (os.cpu_count() or 2) - 1), len(datafiles))
+            depth = workers + int(os.environ.get("PP_PREFETCH_DEPTH", "2"))
+            with ThreadPoolExecutor(max_workers=workers,
+                                    thread_name_prefix="pp-prefetch") \
+                    as pool:
+                pending = []
+                it = iter(enumerate(datafiles))
                 try:
-                    for idf, df in enumerate(datafiles):
-                        q.put(_prep_archive(idf, df))
-                    q.put(_stop)
-                except BaseException as exc:  # re-raised on the consumer
-                    q.put(exc)
-
-            threading.Thread(target=_run, daemon=True,
-                             name="pp-prefetch").start()
-            while True:
-                v = q.get()
-                if v is _stop:
-                    return
-                if isinstance(v, BaseException):
-                    raise v
-                yield v
+                    while True:
+                        while len(pending) < depth:
+                            try:
+                                idf, df = next(it)
+                            except StopIteration:
+                                break
+                            pending.append(
+                                pool.submit(_prep_archive, idf, df))
+                        if not pending:
+                            return
+                        job = pending.pop(0).result()
+                        if job is not None:
+                            self.ok_idatafiles.append(job["idf"])
+                        yield job
+                finally:
+                    for f in pending:
+                        f.cancel()
 
         # ---- batched phase guesses for per-subint-fitted preps (one
         # fit_phase_shift_batch dispatch per nbin group; batch chunks
