@@ -342,7 +342,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
                             stats_dtype=None, ct=None, pallas=None,
-                            seed_phase=False):
+                            seed_phase=False, scales=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -352,6 +352,13 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     (B, nchan) or (nchan,); errs: (B, nchan); weights: optional
     (B, nchan) mask.  nu_fits: (B, 3) or None (defaults to per-item
     mean frequency).
+
+    scales: optional (B, nchan) per-channel dequantization scales for
+    int16 data_ports (int16-native ingest: the archive's DAT_SCL stays
+    host-side and the quantized samples upload at half the bytes; the
+    per-channel offsets only feed the DC harmonic, which F0_FACT
+    zeroing discards — requires config.F0_FACT falsy).  On the CT path
+    the dequantize fuses into the setup kernel's VMEM pass.
 
     seed_phase=True overwrites init_params[:, 0] with a brute band-
     summed phase guess computed in-program (fused into the CT setup
@@ -368,6 +375,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         scattering = True
     fft_matmul = _auto_fft_matmul(fft_matmul)
     B = data_ports.shape[0]
+    if scales is not None:
+        from pulseportraiture_tpu.config import F0_FACT
+        assert not F0_FACT, "int16 ingest requires F0_FACT zeroing"
+        scales = jnp.broadcast_to(
+            jnp.asarray(scales, jnp.float32), data_ports.shape[:2])
     if freqs.ndim == 1:
         freqs = jnp.broadcast_to(freqs, (B,) + freqs.shape)
     if nu_fits is None:
@@ -381,6 +393,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     # XLA DFT-matmul path (parallel/mesh.py passes ct=False)
     _ct = (ct if ct is not None else
            _use_ct_setup(_nbin, fft_matmul)) and model_ports.ndim == 2
+    if scales is not None and not _ct:
+        # non-CT fallback: dequantize up front (one explicit multiply;
+        # the CT path instead fuses this into the setup kernel)
+        data_ports = data_ports.astype(jnp.float32) * scales[..., None]
+        scales = None
     shared_mft = None
     if model_ports.ndim == 2:
         # one DFT for the whole batch; M2/S0 materialize once under
@@ -407,7 +424,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         prec_str = dft_precision if isinstance(dft_precision, str) else \
             os.environ.get("PP_DFT_PRECISION", "highest")
         mrp, mip = permute_spectrum(shared_mft[0], shared_mft[1], nbin)
-        dt = data_ports.dtype
+        dt = jnp.float32 if scales is not None else data_ports.dtype
         errs_FT = errs.astype(dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
         w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
         w = w * (weights > 0.0)
@@ -415,14 +432,16 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         if seed_phase:
             Grp, Gip, sd, gsr, gsi = ct_setup(data_ports, mrp, mip,
                                               f0_fact=bool(F0_FACT),
-                                              dft_precision=prec_str, w=w)
+                                              dft_precision=prec_str, w=w,
+                                              scale=scales)
             init_params = init_params.at[:, 0].set(
                 _brute_phase_seed(gsr, gsi, kvec).astype(
                     init_params.dtype))
         else:
             Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
                                     f0_fact=bool(F0_FACT),
-                                    dft_precision=prec_str)
+                                    dft_precision=prec_str,
+                                    scale=scales)
         M2 = mrp * mrp + mip * mip
         S0 = jnp.sum(M2, axis=-1)
         Sd = jnp.sum(w * sd, axis=-1)

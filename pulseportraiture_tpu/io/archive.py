@@ -71,23 +71,36 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     tcode = telescope_code(telescope)
     frontend, backend = arch.frontend, arch.backend
     backend_delay = arch.backend_delay
+    # int16-native ingest bookkeeping: raw_i2/raw_scl mirror the FILE
+    # samples.  remove_baseline only shifts per-channel offsets (DC-only
+    # under F0_FACT zeroing, psrfits.Archive docstring) so it keeps them
+    # valid; any transform that actually rewrites the sample values
+    # invalidates them.
+    raw_ok = arch.raw_i2 is not None and arch.npol == 1
     if state is not None and state != arch.state and state == "Intensity":
+        raw_ok = raw_ok and arch.npol == 1
         arch.pscrunch()
     if dedisperse:
+        raw_ok = raw_ok and (arch.dedispersed or arch.DM == 0.0)
         arch.dedisperse()
     if dededisperse:
+        raw_ok = raw_ok and (not arch.dedispersed or arch.DM == 0.0)
         arch.dededisperse()
     DM = arch.DM
     dmc = arch.dedispersed
     if state is not None and state != arch.state:
+        raw_ok = raw_ok and arch.npol == 1
         arch.convert_state(state)
     if rm_baseline:
         arch.remove_baseline()
     if tscrunch:
+        raw_ok = False
         arch.tscrunch()
     if pscrunch:
+        raw_ok = raw_ok and arch.npol == 1
         arch.pscrunch()
     if fscrunch:
+        raw_ok = False
         arch.fscrunch()
     nsub, npol, nchan, nbin = arch.data.shape
     integration_length = float(arch.subtimes.sum())
@@ -144,6 +157,13 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
         Ps=Ps, SNRs=SNRs, source=source, state=arch.state, subints=subints,
         subtimes=subtimes, telescope=telescope, telescope_code=tcode,
         weights=weights)
+    if raw_ok:
+        # int16-native ingest: (nsub, nchan, nbin) i2 + (nsub, nchan)
+        # scales, equal to subints up to per-channel offsets (DC-only).
+        # GetTOAs uploads these instead of f32 ports — half the bytes
+        # over the wire and half the setup kernel's HBM read.
+        data.raw_i2 = arch.raw_i2[:, 0]
+        data.raw_scl = arch.raw_scl[:, 0].astype(np.float32)
 
     # diagnostic fields the TOA pipeline never touches are lazy: masks
     # is an (nsub, npol, nchan, nbin) broadcast and the profile stats

@@ -48,6 +48,15 @@ class Archive:
     state: str = "Intensity"      # 'Intensity', 'Stokes', 'Coherence'
     ephemeris_lines: Optional[List[str]] = None
     doppler_factors: Optional[np.ndarray] = None   # (nsub,)
+    # int16-native ingest (files quantized as i2): the raw samples and
+    # per-channel DAT_SCL, as stored.  value = scl*raw + offs; offsets
+    # are NOT kept — they only feed the DC harmonic, which the fit
+    # discards under F0_FACT zeroing.  These reflect the FILE contents:
+    # any transform that rewrites self.data (rotation, scrunching,
+    # state conversion) makes them stale — load_data only forwards
+    # them when no such transform ran (io/archive.py).
+    raw_i2: Optional[np.ndarray] = None    # (nsub, npol, nchan, nbin) i2
+    raw_scl: Optional[np.ndarray] = None   # (nsub, npol, nchan) f4
 
     @property
     def nsub(self):
@@ -274,8 +283,11 @@ def read_psrfits(path) -> Archive:
         nsub, npol * nchan)
     offs = np.asarray(sub.columns["DAT_OFFS"], dtype="f8").reshape(
         nsub, npol * nchan)
+    raw_i2 = raw_scl = None
     if raw.dtype == np.int16:
         from pulseportraiture_tpu.io import native
+        raw_i2 = raw.reshape(nsub, npol, nchan, nbin)
+        raw_scl = scl.astype("f4").reshape(nsub, npol, nchan)
         data = native.dequantize_i2(
             raw, scl.astype("f4"), offs.astype("f4")).astype("f8").reshape(
             nsub, npol, nchan, nbin)
@@ -354,4 +366,5 @@ def read_psrfits(path) -> Archive:
         backend=str(primary.header.get("BACKEND", "")),
         backend_delay=float(primary.header.get("BE_DELAY", 0.0)),
         state=state, ephemeris_lines=eph,
-        doppler_factors=None if dop is None else np.asarray(dop, dtype="f8"))
+        doppler_factors=None if dop is None else np.asarray(dop, dtype="f8"),
+        raw_i2=raw_i2, raw_scl=raw_scl)

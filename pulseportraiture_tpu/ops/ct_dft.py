@@ -107,12 +107,19 @@ def _ct_consts_np(nbin: int):
     return E1c, E1s, C2, S2, TC, TS, ALT
 
 
-def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False):
+def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
+                             with_scale=False):
     NQ, M0, NH = ct_geometry(nbin)
     E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
                alt_ref, *rest):
+        if with_scale:
+            # int16-native ingest: the archive's quantized samples are
+            # dequantized in VMEM (value = scale_c * raw; the per-channel
+            # offset only feeds the DC harmonic, which F0_FACT zeroing
+            # discards) — HBM reads half the bytes of the f32 path
+            scl_ref, rest = rest[0], rest[1:]
         if with_seed:
             # seed mode: one extra (cblk, 1) weight input and two
             # (1, NH) outputs accumulating sum_c w_c * G over the
@@ -127,6 +134,8 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False):
         C2 = c2_ref[:]
         S2 = s2_ref[:]
         x = x_ref[0]                # (CBLK, nbin); batch dim in grid
+        if with_scale:
+            x = x.astype(jnp.float32) * scl_ref[0]     # (CBLK, 1) scale
         sd_acc = jnp.zeros_like(x[:, :1])
         ny = None
         dc2 = None
@@ -225,7 +234,7 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False):
 @functools.partial(jax.jit, static_argnames=("f0_fact", "dft_precision",
                                              "interpret"))
 def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
-             interpret=False, w=None):
+             interpret=False, w=None, scale=None):
     """Fused CT-DFT + cross-spectrum: (Gr_p, Gi_p, sd) in CT order.
 
     x: (nchan, nbin) or batched (B, nchan, nbin) real data; mr_p/mi_p:
@@ -240,6 +249,12 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     x), accumulate sum_c w_c * G_ck in the same VMEM pass — the
     band-summed cross-spectrum the brute phase seed needs, without a
     second read of the spectra (fitters.portrait seed_phase path).
+
+    scale: optional per-channel dequantization scale (nchan,) or
+    (B, nchan), used with integer x (int16-native ingest: the PSRFITS
+    DAT_SCL applied in VMEM; requires f0_fact falsy since per-channel
+    offsets are dropped with the DC harmonic).  Halves the kernel's
+    HBM data read vs f32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -259,7 +274,15 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
             "default": jax.lax.Precision.DEFAULT}[
         (dft_precision or "highest").lower()]
     _, _, C2np, S2np, TCnp, TSnp, ALTnp = _ct_consts_np(nbin)
-    x = x.astype(jnp.float32)
+    with_scale = scale is not None
+    if with_scale:
+        assert not f0_fact, \
+            "int16 ingest drops per-channel offsets into the DC " \
+            "harmonic; it requires F0_FACT zeroing"
+        scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32),
+                                 (B, nchan))[..., None]  # (B, nchan, 1)
+    else:
+        x = x.astype(jnp.float32)
     mr_p = mr_p.astype(jnp.float32)
     mi_p = mi_p.astype(jnp.float32)
 
@@ -275,10 +298,13 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
         mi_p = jnp.pad(mi_p, [(0, pad), (0, 0)])
         if with_seed:
             w = jnp.pad(w, [(0, 0), (0, pad), (0, 0)])
+        if with_scale:
+            scale = jnp.pad(scale, [(0, 0), (0, pad), (0, 0)])
     ntot = nchan + pad
     grid = (B, ntot // cblk)
     kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec,
-                                    with_seed=with_seed)
+                                    with_seed=with_seed,
+                                    with_scale=with_scale)
     out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))
@@ -317,6 +343,10 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     ]
     args = [x, mr_p, mi_p, jnp.asarray(C2np), jnp.asarray(S2np),
             jnp.asarray(TCnp), jnp.asarray(TSnp), jnp.asarray(ALTnp)]
+    if with_scale:
+        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(scale)
     if with_seed:
         in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM))

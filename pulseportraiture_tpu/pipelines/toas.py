@@ -315,6 +315,16 @@ class GetTOAs:
             # here: prep may run on a worker pool out of archive order
             nbin = data.nbin
             DM0_arch = data.DM if DM0 is None else DM0
+            # int16-native ingest applies when the file is i2-quantized
+            # and untransformed (io/archive.py raw_ok), the fit runs
+            # f32, and the batch goes through fit_portrait_full_batch
+            # (the mesh path's shard helpers take f32; PP_I2=0 opts out)
+            from pulseportraiture_tpu.config import F0_FACT as _f0
+            i2_ok = (fit_dtype == np.float32 and mesh is None
+                     and not _f0
+                     and getattr(data, "raw_i2", None) is not None
+                     and os.environ.get("PP_I2", "1") not in
+                     ("0", "false"))
 
             # ---- prep pass: per-subint model, guesses, fit inputs ----
             preps = []
@@ -377,10 +387,6 @@ class GetTOAs:
                     nu_fit = float(nu0 + ((freqsx - nu0) * wgt).sum() /
                                    wgt.sum())
 
-                # the port stays unrotated (dispersion lives in the
-                # model); it drops to the fit dtype (what the device
-                # receives anyway) so a 1000-epoch campaign holds f32
-                port_fit = np.asarray(port, fit_dtype)
                 phase_guess = 0.0  # batch fits seed in-program
                 DM_guess = 0.0  # residual around DM_base
                 sg = scat_guess if scat_guess is not None else \
@@ -399,15 +405,30 @@ class GetTOAs:
                 elif len(okc) == 2 and fit_flags[2]:
                     sub_flags = (1, fit_flags[1], 0, fit_flags[3],
                                  fit_flags[4])
+                batchable = batchable_ok and sub_flags == fit_flags
                 init = np.array([phase_guess, DM_guess, 0.0, tau_guess,
                                  alpha_guess])
+                if batchable and i2_ok:
+                    # int16-native ingest: upload the file's quantized
+                    # samples + per-channel DAT_SCL; offsets (incl. the
+                    # removed baseline) only feed the DC harmonic,
+                    # which F0_FACT zeroing discards — half the bytes
+                    # over the tunnel and in the setup kernel's read
+                    port_fit = data.raw_i2[isub]
+                    scale = data.raw_scl[isub]
+                else:
+                    # the port stays unrotated (dispersion lives in the
+                    # model); it drops to the fit dtype (what the device
+                    # receives anyway) so a 1000-epoch campaign holds f32
+                    port_fit = np.asarray(port, fit_dtype)
+                    scale = None
                 prep = dict(isub=isub, P=P, freqs=freqs,
-                            weights=weights, port=port_fit,
+                            weights=weights, port=port_fit, scale=scale,
                             errs=errs, okc=okc, model=model,
                             nu_fit=nu_fit, nu_anchor=nu_anchor,
                             init=init,
                             sub_flags=sub_flags, DM_base=DM_base)
-                if not (batchable_ok and sub_flags == fit_flags):
+                if not batchable:
                     # this subint will be fitted per-subint in the
                     # assembly pass: it needs a host-side brute phase
                     # guess (batch chunks seed in-program instead)
@@ -530,7 +551,8 @@ class GetTOAs:
             # assembly overlaps device compute of queued chunks
             _drain_assembly()
 
-        def _dispatch(shape, items):
+        def _dispatch(key, items):
+            shape = key[0]
             part = list(items)
             npart = len(part)
             # bucket every chunk to the next power of two (duplicate
@@ -567,6 +589,10 @@ class GetTOAs:
                 jnp.asarray(np.stack([p["errs"] for _, p in part])))
             nu_fits_arg = jnp.asarray(np.array(
                 [[p["nu_fit"]] * 3 for _, p in part]))
+            scales_arg = None
+            if part[0][1].get("scale") is not None:
+                scales_arg = jnp.asarray(np.stack(
+                    [p["scale"] for _, p in part]))
             # the stacked copy is on its way to the device: free the
             # per-prep ports (campaign memory stays ~chunk-sized)
             for _, p in part:
@@ -576,7 +602,7 @@ class GetTOAs:
                 nu_fits=nu_fits_arg,
                 fit_flags=fit_flags, log10_tau=log10_tau,
                 scattering=None if fit_scat else False,
-                seed_phase=True,
+                seed_phase=True, scales=scales_arg,
                 dft_precision=os.environ.get("PP_DFT_PRECISION",
                                              "high"))
             if mesh is not None:
@@ -902,22 +928,25 @@ class GetTOAs:
             arch_jobs.append(job)
             for p in job["preps"]:
                 if batchable_ok and p["sub_flags"] == fit_flags:
-                    buffers.setdefault(p["port"].shape, []).append(
-                        (iarch, p))
-            for shape, items in buffers.items():
+                    # key includes the dtype: i2-ingest chunks and f32
+                    # chunks compile (and stack) separately
+                    buffers.setdefault(
+                        (p["port"].shape, p["port"].dtype.str),
+                        []).append((iarch, p))
+            for key, items in buffers.items():
                 # stream in sub-chunks: waiting for the full
                 # memory-derived chunk would defer every dispatch to
                 # the final flush (no load/fit overlap); 64-item chunks
                 # amortize dispatch latency while keeping the pipeline
                 # flowing
-                chunk = min(_auto_fit_chunk(shape),
+                chunk = min(_auto_fit_chunk(key[0]),
                             int(os.environ.get("PP_STREAM_CHUNK", "64")))
                 while len(items) >= chunk:
-                    _dispatch(shape, items[:chunk])
+                    _dispatch(key, items[:chunk])
                     del items[:chunk]
-        for shape, items in buffers.items():
+        for key, items in buffers.items():
             if items:
-                _dispatch(shape, items)
+                _dispatch(key, items)
         while inflight:
             _fetch_oldest()
         _drain_assembly()

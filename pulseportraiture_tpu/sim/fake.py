@@ -67,7 +67,7 @@ def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
                      scales=1.0, dedispersed=False, t_scat=0.0,
                      alpha=SCATTERING_ALPHA, scint=False, xs=None, Cs=None,
                      nu_DM=np.inf, state="Stokes", telescope="GBT",
-                     quiet=True, rng=None):
+                     quiet=True, rng=None, dtype="i2"):
     """Generate a fake-pulsar archive.  Reference: pplib.py:3183-3378.
 
     The injected delay structure: the written archive claims header DM
@@ -150,7 +150,11 @@ def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
         ephemeris_lines=eph_lines)
     if not dedispersed:
         arch.dededisperse()
-    write_psrfits(outfile, arch, quiet=quiet)
+    # default i2: real PSRFITS archives store int16 DATA with per-channel
+    # DAT_SCL/DAT_OFFS (what PSRCHIVE writes); this also feeds GetTOAs's
+    # int16-native device ingest.  dtype="f4" opts out for exactness
+    # tests.
+    write_psrfits(outfile, arch, dtype=dtype, quiet=quiet)
     return arch
 
 

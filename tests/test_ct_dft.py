@@ -161,3 +161,30 @@ def test_ct_setup_fused_seed_outputs(nbin=512):
                              dft_precision="highest", interpret=True)
     np.testing.assert_array_equal(np.asarray(Gr), np.asarray(Gr2))
     np.testing.assert_array_equal(np.asarray(sd), np.asarray(sd2))
+
+
+def test_ct_setup_i2_scale_ingest(nbin=512):
+    """int16-native ingest: ct_setup(x_i2, scale=...) equals the f32
+    path on scale*x up to f32 rounding; per-channel offsets never enter
+    (DC is zeroed under f0_fact falsy)."""
+    rng = np.random.default_rng(9)
+    B, nchan = 2, 24
+    xi = rng.integers(-32768, 32767, (B, nchan, nbin),
+                      dtype=np.int16)
+    scl = rng.uniform(1e-4, 5e-4, (B, nchan)).astype(np.float32)
+    model = rng.normal(0, 1, (nchan, nbin)).astype(np.float32)
+    mfft = np.fft.rfft(model, axis=-1)
+    mrp, mip = permute_spectrum(jnp.asarray(mfft.real.astype(np.float32)),
+                                jnp.asarray(mfft.imag.astype(np.float32)),
+                                nbin)
+    w = np.ones((B, nchan), np.float32)
+    out_i2 = ct_setup(jnp.asarray(xi), mrp, mip, f0_fact=False,
+                      interpret=True, w=jnp.asarray(w),
+                      scale=jnp.asarray(scl))
+    xf = xi.astype(np.float32) * scl[..., None]
+    out_f32 = ct_setup(jnp.asarray(xf), mrp, mip, f0_fact=False,
+                       interpret=True, w=jnp.asarray(w))
+    for a, b in zip(out_i2, out_f32):
+        a, b = np.asarray(a), np.asarray(b)
+        s = np.abs(b).max() + 1e-30
+        assert np.abs(a - b).max() / s < 2e-6

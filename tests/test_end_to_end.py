@@ -259,3 +259,28 @@ def test_fit_scat_with_scattered_gmodel_measures_total_tau(workspace):
     assert 0.5 * exp_us < toa.flags["scat_time"] < 1.5 * exp_us, \
         (toa.flags["scat_time"], exp_us)
     assert toa.flags["gof"] < 2.0
+
+
+def test_i2_native_ingest_matches_f32_path(workspace):
+    """int16-native device ingest (GetTOAs uploads raw i2 + DAT_SCL)
+    agrees with the dequantize-on-host f32 path on the same file: the
+    dropped per-channel offsets only feed the DC harmonic, which
+    F0_FACT zeroing discards."""
+    ws, par, gmodel = workspace
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=2, nsub=2,
+                            noise=0.3)
+    d = load_data(files[0])
+    assert getattr(d, "raw_i2", None) is not None    # i2 on disk
+    gt_i2 = GetTOAs(files, gmodel, quiet=True)
+    gt_i2.get_TOAs(quiet=True)
+    os.environ["PP_I2"] = "0"
+    try:
+        gt_f = GetTOAs(files, gmodel, quiet=True)
+        gt_f.get_TOAs(quiet=True)
+    finally:
+        del os.environ["PP_I2"]
+    assert len(gt_i2.TOA_list) == len(gt_f.TOA_list) == 4
+    for a, b in zip(gt_i2.TOA_list, gt_f.TOA_list):
+        da = (a.MJD - b.MJD) * 1e6      # MJD.__sub__ is seconds -> us
+        assert abs(da) < 0.05 * b.TOA_error, (da, b.TOA_error)
+        assert abs(a.DM - b.DM) < 0.05 * b.DM_error
