@@ -493,6 +493,64 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                          errs, weights, nu_fits)
 
 
+# PortraitFitResult leaf widths for pack/unpack; nchan-sized fields are
+# marked None.  Field order == NamedTuple order == tree_leaves order.
+_PACK_SIZES = (5, 5, None, None, 1, 1, 1, 25, 1, 1, 1, None, 1, 1, 1)
+_PACK_INT = {12, 13, 14}            # niter, nfeval, return_code
+
+
+def pack_result(res):
+    """Flatten a batched PortraitFitResult into ONE (B, K) f32 array.
+
+    On a remote/tunneled backend every device->host transfer pays the
+    round-trip latency per *array*, so fetching the 15-leaf result
+    pytree costs 15 latencies per chunk; the packed form costs one.
+    Packs in the fit dtype (f32 on TPU, f64 on x64 CPU runs) so no
+    precision is lost vs the pytree fetch; the int fields
+    (niter/nfeval/return_code) are small counts, exact either way.
+    Inverse: unpack_result."""
+    B = res.params.shape[0]
+    dt = res.params.dtype
+    return jnp.concatenate(
+        [jnp.reshape(leaf, (B, -1)).astype(dt)
+         for leaf in jax.tree_util.tree_leaves(res)], axis=1)
+
+
+def unpack_result(arr, nchan):
+    """Rebuild a host-side PortraitFitResult (numpy leaves, batch
+    leading) from pack_result's (B, K) array."""
+    import numpy as np
+    arr = np.asarray(arr)
+    B = arr.shape[0]
+    leaves, off = [], 0
+    for i, sz in enumerate(_PACK_SIZES):
+        n = nchan if sz is None else sz
+        leaf = arr[:, off:off + n]
+        off += n
+        if n == 1:
+            leaf = leaf[:, 0]
+        elif sz == 25:
+            leaf = leaf.reshape(B, 5, 5)
+        if i in _PACK_INT:
+            leaf = leaf.astype(np.int32)
+        leaves.append(leaf)
+    assert off == arr.shape[1], (off, arr.shape)
+    return PortraitFitResult(*leaves)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fit_flags", "log10_tau", "max_iter",
+                                    "fft_matmul", "scattering",
+                                    "dft_precision", "stats_dtype",
+                                    "ct", "pallas", "seed_phase"))
+def fit_portrait_full_batch_packed(*args, **kwargs):
+    """fit_portrait_full_batch with the result packed into one (B, K)
+    f32 array (see pack_result) — a single device->host transfer per
+    chunk instead of 15, which is what the ~30 ms/transfer tunneled
+    TPU backend needs.  Same arguments; unpack with unpack_result."""
+    return pack_result(fit_portrait_full_batch(*args, **kwargs))
+
+
 def _make_fit_one(fit_flags, log10_tau, max_iter, scattering, pallas):
     """Optimize -> nu_zeros -> re-reference -> covariance for ONE item
     given a prebuilt FitSetup (all arguments static; vmap for batches).

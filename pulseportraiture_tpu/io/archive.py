@@ -132,7 +132,12 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     ok_isubs = np.compress(weights_norm.mean(axis=1), range(nsub))
     ok_ichans = [np.compress(weights_norm[isub], range(nchan))
                  for isub in range(nsub)]
-    SNRs = np.asarray(get_SNR(subints_f32), dtype=np.float64)
+    nz = noise_stds[noise_stds > 0.0]
+    SNRs = np.asarray(
+        get_SNR(subints_f32,
+                noise=np.float32(np.sqrt(np.mean(nz ** 2)) if nz.size
+                                 else 1.0)),
+        dtype=np.float64)
     if flux_prof:
         fl = arch.copy()
         fl.pscrunch()

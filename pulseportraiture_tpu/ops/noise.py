@@ -124,12 +124,18 @@ def get_noise(data, method="PS", **kwargs):
     raise ValueError(f"Unknown get_noise method {method!r}")
 
 
-def get_SNR(prof, fudge=SNR_FUDGE):
+def get_SNR(prof, fudge=SNR_FUDGE, noise=None):
     """Equivalent-width SNR estimate (baseline assumed removed).
 
     Reference: pplib.py:2289-2308 (Lorimer & Kramer 2005).
     Concrete inputs compute on the host (load-time estimator; see
     get_noise_PS); traced inputs stay in jnp.
+
+    noise: optional precomputed global noise scalar.  load_data passes
+    the RMS of its per-channel PS estimates, skipping a second
+    full-archive rfft (the raveled-spectrum scalar and the channel-RMS
+    agree as white-noise estimators; every pipeline consumer uses SNRs
+    only as relative weights, where a global scalar cancels exactly).
     """
     import jax
 
@@ -137,7 +143,8 @@ def get_SNR(prof, fudge=SNR_FUDGE):
         p = np.asarray(prof)
         if p.dtype not in (np.float32, np.float64):
             p = p.astype(np.float64)
-        noise = np.asarray(get_noise_PS(p))
+        if noise is None:
+            noise = np.asarray(get_noise_PS(p))
         Weq = p.sum(-1) / p.max(-1)
         mask = np.where(Weq <= 0.0, 0.0, 1.0)
         Weq = np.where(Weq <= 0.0, 1.0, Weq)

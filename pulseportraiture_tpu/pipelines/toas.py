@@ -525,22 +525,40 @@ class GetTOAs:
         # jit-cached per-subint fitter in the assembly pass.  fit_GM
         # combos batch too: their polynomial nu_zeros solve on device
         # via the grid+bisection root solver (fitters/nu_zeros.py). ----
-        from pulseportraiture_tpu.fitters.portrait import \
-            fit_portrait_full_batch
+        from pulseportraiture_tpu.fitters.portrait import (
+            fit_portrait_full_batch, fit_portrait_full_batch_packed,
+            unpack_result)
         results = {}
         arch_jobs = []
         buffers = {}
         inflight = []
-        DEPTH = max(1, int(os.environ.get("PP_INFLIGHT", "2")))
+
+        def _depth_for(nbytes):
+            # in-flight queue depth: keep the host->device pipe full
+            # (the tunnel's per-chunk upload is the campaign
+            # bottleneck at small shapes; measured 114 -> ~220 TOAs/s
+            # at 128ch x 512bin going 2 -> 8 deep), but cap the queued
+            # input bytes so big-shape chunks (1 GB at 4096x2048/f32)
+            # never stack 8 deep in HBM
+            env = os.environ.get("PP_INFLIGHT")
+            if env:
+                return max(1, int(env))
+            return int(min(8, max(2, (512 << 20) // max(nbytes, 1))))
 
         def _fetch_oldest():
-            # one device->host transfer per chunk; assembly then reads
-            # plain numpy.  device_get also forces completion
-            # (block_until_ready can return early on tunneled remote
-            # backends).  dur includes queue wait: it is the pipelined
-            # wall cost per item, not pure device time.
-            bres, part, npart, t0 = inflight.pop(0)
-            bres_np = jax.device_get(bres)
+            # ONE device->host transfer per chunk (the result pytree is
+            # packed into a single (B, K) f32 array on device: each
+            # transfer pays the tunnel's ~30 ms round trip per *array*,
+            # so 15 leaves/chunk was the campaign's dominant cost);
+            # assembly then reads plain numpy.  The fetch also forces
+            # completion (block_until_ready can return early on
+            # tunneled remote backends).  dur includes queue wait: it
+            # is the pipelined wall cost per item, not pure device time.
+            bres, nchan_fit, part, npart, t0 = inflight.pop(0)
+            if nchan_fit is not None:
+                bres_np = unpack_result(np.asarray(bres), nchan_fit)
+            else:
+                bres_np = jax.device_get(bres)
             dur = (time.time() - t0) / npart
             for i, (iarch, p) in enumerate(part[:npart]):
                 results[(iarch, p["isub"])] = (
@@ -580,6 +598,7 @@ class GetTOAs:
                 jnp.asarray(np.stack([p["model"] for _, p in part]))
             t0 = time.time()
             ports_np = np.stack([p["port"] for _, p in part])
+            chunk_bytes = ports_np.nbytes
             fit_args = (
                 jnp.asarray(ports_np),
                 model_arg,
@@ -635,8 +654,8 @@ class GetTOAs:
                         scattering=None if fit_scat else False,
                         dft_precision=fit_kw["dft_precision"],
                         seed_phase=True)
-                    inflight.append((bres, part, npart, t0))
-                    while len(inflight) > DEPTH:
+                    inflight.append((bres, None, part, npart, t0))
+                    while len(inflight) > _depth_for(chunk_bytes):
                         _fetch_oldest()
                     return
                 sh = shard_fit_inputs(mesh, *fit_args,
@@ -648,9 +667,16 @@ class GetTOAs:
                 # force XLA setup + moments on the sharded path
                 fit_kw["ct"] = False
                 fit_kw["pallas"] = False
-            bres = fit_portrait_full_batch(*fit_args, **fit_kw)
-            inflight.append((bres, part, npart, t0))
-            while len(inflight) > DEPTH:
+            if mesh is not None:
+                # GSPMD path: keep the pytree result (packing would
+                # force an extra cross-shard layout pass)
+                bres = fit_portrait_full_batch(*fit_args, **fit_kw)
+                inflight.append((bres, None, part, npart, t0))
+            else:
+                bres = fit_portrait_full_batch_packed(*fit_args,
+                                                      **fit_kw)
+                inflight.append((bres, int(shape[0]), part, npart, t0))
+            while len(inflight) > _depth_for(chunk_bytes):
                 _fetch_oldest()
 
         # ---- assembly (per archive, in archive order).  Called
