@@ -44,6 +44,12 @@ class PortraitFitResult(NamedTuple):
     niter: jnp.ndarray
     nfeval: jnp.ndarray
     return_code: jnp.ndarray
+    channel_red_chi2: jnp.ndarray = None  # (nchan,) per-channel
+    # reduced chi2 at the fitted solution: (sd_n - a_n^2 S_n)/(nbin-2),
+    # Fourier-domain with the DC harmonic excluded (F0_FACT zeroing) --
+    # the on-device analogue of the reference's time-domain per-channel
+    # get_red_chi2 in the zap pass (pptoas.py:1208-1285); feeds
+    # GetTOAs.get_channels_to_zap without re-reading any archive
 
     @property
     def phi(self):
@@ -154,7 +160,23 @@ def _finalize(params_out, setup_out, fit_flags, log10_tau, fun,
     nfit = sum(int(bool(f)) for f in fit_flags)
     dof = jnp.sum(active) * nbin_eff - (nfit + jnp.sum(active))
     red_chi2 = chi2 / dof
-    return cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2
+    # per-channel reduced chi2 at the fitted amplitudes (for ppzap):
+    # chi2_n = sd_n - C_n^2/S_n = sd_n - a_n^2 S_n; dof = nbin - 2
+    # (scale + the shared shift), matching the reference's per-channel
+    # get_red_chi2 convention (pptoas.py:1246) in the Fourier domain
+    # with DC excluded.
+    if setup_out.sd_chan is not None:
+        # clamp to a tiny positive floor on live channels: rounding can
+        # push a perfectly-fit channel's chi2 to <= 0, and downstream
+        # (get_channels_to_zap) uses "exactly 0" to mean dead channel
+        ch_chi2 = jnp.maximum(setup_out.sd_chan - scales * scales * S,
+                              1e-30)
+        channel_red_chi2 = jnp.where(active,
+                                     ch_chi2 / (nbin_eff - 2), 0.0)
+    else:
+        channel_red_chi2 = jnp.zeros_like(scales)
+    return (cov, perrs, scales, scale_errs, channel_snrs, snr, chi2,
+            red_chi2, channel_red_chi2)
 
 
 def _auto_fft_matmul(fft_matmul):
@@ -228,7 +250,8 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
                               log10_tau)
     setup_out = setup._replace(nu_DM=nu_out_DM, nu_GM=nu_out_GM,
                                nu_tau=nu_out_tau)
-    cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
+    (cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2,
+     ch_rchi2) = \
         _finalize(params_out, setup_out, fit_flags, log10_tau, res.fun,
                   scattering=scattering, moments=res.aux)
 
@@ -237,7 +260,8 @@ def fit_portrait_full(data_port, model_port, init_params, P, freqs,
         scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
         nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
         red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
-        niter=res.niter, nfeval=res.nfev, return_code=res.status), duration
+        niter=res.niter, nfeval=res.nfev, return_code=res.status,
+        channel_red_chi2=ch_rchi2), duration
 
 
 def fit_portrait(data, model, init_params, P, freqs, nu_fit=None, nu_out=None,
@@ -455,10 +479,11 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             P=Ps.astype(dt), nu_DM=nu_fits[:, 0].astype(dt),
             nu_GM=nu_fits[:, 1].astype(dt),
             nu_tau=nu_fits[:, 2].astype(dt), Sd=Sd.astype(dt), S0=S0,
-            nbin=int(nbin), kvec=kvec)
+            nbin=int(nbin), kvec=kvec,
+            sd_chan=(w * sd).astype(dt))
         axes = stats.FitSetup(
             Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0, nu_DM=0, nu_GM=0,
-            nu_tau=0, Sd=0, S0=None, nbin=None, kvec=None)
+            nu_tau=0, Sd=0, S0=None, nbin=None, kvec=None, sd_chan=0)
         return jax.vmap(_fit_one, in_axes=(axes, 0))(setup_b, init_params)
 
     if seed_phase:
@@ -494,8 +519,10 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
 
 
 # PortraitFitResult leaf widths for pack/unpack; nchan-sized fields are
-# marked None.  Field order == NamedTuple order == tree_leaves order.
-_PACK_SIZES = (5, 5, None, None, 1, 1, 1, 25, 1, 1, 1, None, 1, 1, 1)
+# marked None.  Field order == NamedTuple order == tree_leaves order
+# (channel_red_chi2 is always a concrete leaf in batched results).
+_PACK_SIZES = (5, 5, None, None, 1, 1, 1, 25, 1, 1, 1, None, 1, 1, 1,
+               None)
 _PACK_INT = {12, 13, 14}            # niter, nfeval, return_code
 
 
@@ -578,14 +605,15 @@ def _make_fit_one(fit_flags, log10_tau, max_iter, scattering, pallas):
                                    nu_tau=nu_out_tau)
         outs = _finalize(params_out, setup_out, fit_flags, log10_tau,
                          res.fun, scattering=scattering, moments=res.aux)
-        cov, perrs, scales, scale_errs, channel_snrs, snr, chi2, red_chi2 = \
-            outs
+        (cov, perrs, scales, scale_errs, channel_snrs, snr, chi2,
+         red_chi2, ch_rchi2) = outs
         return PortraitFitResult(
             params=params_out, param_errs=perrs, scales=scales,
             scale_errs=scale_errs, nu_DM=nu_out_DM, nu_GM=nu_out_GM,
             nu_tau=nu_out_tau, covariance_matrix=cov, chi2=chi2,
             red_chi2=red_chi2, snr=snr, channel_snrs=channel_snrs,
-            niter=res.niter, nfeval=res.nfev, return_code=res.status)
+            niter=res.niter, nfeval=res.nfev, return_code=res.status,
+            channel_red_chi2=ch_rchi2)
 
     return _fit_one
 
@@ -608,7 +636,7 @@ def fit_batch_from_setup(setup_b, init_params, setup_axes=None,
     if setup_axes is None:
         setup_axes = stats.FitSetup(
             Gr=0, Gi=0, M2=0, w=0, freqs=0, P=0, nu_DM=0, nu_GM=0,
-            nu_tau=0, Sd=0, S0=0, nbin=None, kvec=None)
+            nu_tau=0, Sd=0, S0=0, nbin=None, kvec=None, sd_chan=0)
     fit_one = _make_fit_one(tuple(int(bool(f)) for f in fit_flags),
                             log10_tau, max_iter, scattering, pallas)
     return jax.vmap(fit_one, in_axes=(setup_axes, 0))(setup_b, init_params)

@@ -90,6 +90,10 @@ class FitSetup(NamedTuple):
                         # are stored in the CT-permuted order of
                         # ops.ct_dft (None = natural 0..nharm-1); every
                         # harmonic reduction is order-free given kvec
+    sd_chan: jnp.ndarray = None  # (nchan,) w_n sum_k |dFT|**2: the
+                        # per-channel data term (Sd before the channel
+                        # sum); lets the fit epilogue emit per-channel
+                        # chi2 for ppzap without re-reading the data
 
 
 def model_ft(model_port, f0_fact=F0_FACT, fft_matmul=False,
@@ -154,7 +158,8 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
     Gr = dr * mr + di * mi
     Gi = di * mr - dr * mi
     M2 = mr * mr + mi * mi
-    Sd = jnp.sum(w * jnp.sum(dr * dr + di * di, axis=-1))
+    sd_chan = w * jnp.sum(dr * dr + di * di, axis=-1)
+    Sd = jnp.sum(sd_chan, axis=-1)
     S0 = jnp.sum(M2, axis=-1)
     if stats_dtype is not None:
         sd = jnp.dtype(stats_dtype)
@@ -167,7 +172,8 @@ def make_setup(data_port, model_port, errs, P, freqs, nu_DM, nu_GM, nu_tau,
                     P=jnp.asarray(P, dt), nu_DM=jnp.asarray(nu_DM, dt),
                     nu_GM=jnp.asarray(nu_GM, dt),
                     nu_tau=jnp.asarray(nu_tau, dt),
-                    Sd=jnp.asarray(Sd, dt), S0=S0, nbin=int(nbin))
+                    Sd=jnp.asarray(Sd, dt), S0=S0, nbin=int(nbin),
+                    sd_chan=sd_chan.astype(dt))
 
 
 def _taus_and_derivs(params, setup, log10_tau):

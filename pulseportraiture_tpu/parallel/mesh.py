@@ -202,10 +202,11 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
         P=jax.device_put(jnp.asarray(Ps, dt), s_item),
         nu_DM=nu_fits[:, 0].astype(dt), nu_GM=nu_fits[:, 1].astype(dt),
         nu_tau=nu_fits[:, 2].astype(dt), Sd=Sd.astype(dt), S0=S0,
-        nbin=int(nbin), kvec=jnp.asarray(ct_kvec(nbin), dt))
+        nbin=int(nbin), kvec=jnp.asarray(ct_kvec(nbin), dt),
+        sd_chan=(w * sd).astype(dt))
     axes = stats.FitSetup(Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0,
                           nu_DM=0, nu_GM=0, nu_tau=0, Sd=0, S0=None,
-                          nbin=None, kvec=None)
+                          nbin=None, kvec=None, sd_chan=0)
     fitter = jax.jit(fit_batch_from_setup,
                      static_argnames=("setup_axes", "fit_flags",
                                       "log10_tau", "max_iter",

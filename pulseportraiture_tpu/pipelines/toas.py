@@ -233,6 +233,10 @@ class GetTOAs:
         self.scale_errs = []
         self.snrs = []
         self.channel_snrs = []
+        # per-(archive, subint) (nchan,) reduced chi2 from the fit
+        # epilogue (PortraitFitResult.channel_red_chi2); consumed by
+        # get_channels_to_zap without re-reading any archive
+        self.fit_channel_red_chi2s = []
         self.fluxes = []
         self.flux_errs = []
         self.red_chi2s = []
@@ -697,6 +701,7 @@ class GetTOAs:
             GMs_l, GM_errs_l = [], []
             taus_l, tau_errs_l, alphas_l, alpha_errs_l = [], [], [], []
             scales_l, scale_errs_l, snrs_l, chan_snrs_l = [], [], [], []
+            chan_rchi2_l = []
             fluxes_l, flux_errs_l = [], []
             red_chi2s_l, covs_l, nfevals_l, rcs_l = [], [], [], []
             nu_fits_l, nu_refs_l = [], []
@@ -867,6 +872,9 @@ class GetTOAs:
                 scale_errs_l.append(scale_errs_np)
                 snrs_l.append(float(res.snr))
                 chan_snrs_l.append(np.asarray(res.channel_snrs))
+                chan_rchi2_l.append(
+                    None if res.channel_red_chi2 is None
+                    else np.asarray(res.channel_red_chi2))
                 fluxes_l.append(flux)
                 flux_errs_l.append(flux_err)
                 red_chi2s_l.append(float(res.red_chi2))
@@ -915,6 +923,7 @@ class GetTOAs:
             self.scale_errs.append(scale_errs_l)
             self.snrs.append(np.asarray(snrs_l))
             self.channel_snrs.append(chan_snrs_l)
+            self.fit_channel_red_chi2s.append(chan_rchi2_l)
             self.fluxes.append(np.asarray(fluxes_l))
             self.flux_errs.append(np.asarray(flux_errs_l))
             self.red_chi2s.append(np.asarray(red_chi2s_l))
@@ -1286,20 +1295,37 @@ class GetTOAs:
         for iarch, df in enumerate(self.order):
             arch_zaps = []
             arch_rchi2s = []
+            stored = self.fit_channel_red_chi2s[iarch] \
+                if iarch < len(self.fit_channel_red_chi2s) else []
             for ii, isub in enumerate(self.ok_isubs[iarch]):
-                port, scaled_model, _, freqs, errs = self.show_fit(
-                    datafile=df, isub=isub, rotate=True, show=False,
-                    return_fit=True, quiet=True)
-                okc = np.where(errs > 0)[0]
+                rc_all = stored[ii] if ii < len(stored) else None
+                if rc_all is not None:
+                    # fast path: per-channel reduced chi2 computed on
+                    # device in the fit epilogue (Fourier domain, DC
+                    # excluded; PortraitFitResult.channel_red_chi2) —
+                    # no archive re-read, no per-channel host loop.
+                    errs = np.where(np.asarray(rc_all) > 0.0, 1.0, 0.0)
+                    okc = np.where(errs > 0)[0]
+                else:
+                    # legacy path (e.g. after get_narrowband_TOAs):
+                    # reload + rotate and recompute in the time domain
+                    # (reference pptoas.py:1287-1419 semantics)
+                    port, scaled_model, _, freqs, errs = self.show_fit(
+                        datafile=df, isub=isub, rotate=True, show=False,
+                        return_fit=True, quiet=True)
+                    okc = np.where(errs > 0)[0]
                 chan_snrs = self.channel_snrs[iarch][ii]
                 thresh = (SNR_threshold ** 2 / max(len(okc), 1)) ** 0.5
                 bad = []
                 rchi2s = []
                 for ichan in okc:
-                    rc = float(get_red_chi2(port[ichan],
-                                            scaled_model[ichan],
-                                            errs=errs[ichan],
-                                            dof=port.shape[1] - 2))
+                    if rc_all is not None:
+                        rc = float(rc_all[ichan])
+                    else:
+                        rc = float(get_red_chi2(port[ichan],
+                                                scaled_model[ichan],
+                                                errs=errs[ichan],
+                                                dof=port.shape[1] - 2))
                     rchi2s.append(rc)
                     if rc > rchi2_threshold or np.isnan(rc):
                         bad.append(int(ichan))
@@ -1324,6 +1350,9 @@ class GetTOAs:
                 arch_zaps.append(sorted(bad))
                 if show and bad:
                     from pulseportraiture_tpu.viz import show_portrait
+                    port = self.show_fit(datafile=df, isub=isub,
+                                         rotate=True, show=False,
+                                         return_fit=True, quiet=True)[0]
                     show_portrait(port, title=f"{df} subint {isub} "
                                   f"bad chans: {bad}")
             self.zap_channels.append(arch_zaps)

@@ -284,3 +284,52 @@ def test_i2_native_ingest_matches_f32_path(workspace):
         da = (a.MJD - b.MJD) * 1e6      # MJD.__sub__ is seconds -> us
         assert abs(da) < 0.05 * b.TOA_error, (da, b.TOA_error)
         assert abs(a.DM - b.DM) < 0.05 * b.DM_error
+
+
+def test_zap_fast_path_flags_bad_channels_like_legacy(workspace):
+    """get_channels_to_zap's fast path (per-channel red-chi2 from the
+    fit epilogue, no archive re-read) flags an injected corrupted
+    channel and agrees with the legacy reload+time-domain path on the
+    high-S/N decisions.  Conventions: fast path is Fourier-domain with
+    DC excluded (fitters/portrait.py channel_red_chi2); reference
+    semantics pptoas.py:1208-1285."""
+    ws, par, gmodel = workspace
+    rng = np.random.default_rng(5)
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=1, nsub=2,
+                            noise=0.3)
+    # corrupt one channel with structured (low-harmonic) garbage: a
+    # displaced pulse the model cannot fit.  (Broadband white garbage
+    # would be absorbed into that channel's noise estimate and its
+    # red-chi2 would correctly stay ~1.)
+    from pulseportraiture_tpu.io.psrfits import read_psrfits, \
+        write_psrfits
+    arch = read_psrfits(files[0])
+    bad_chan = 11
+    nbin = arch.data.shape[-1]
+    x = (np.arange(nbin) + 0.5) / nbin
+    ghost = 8.0 * np.exp(-0.5 * ((x - 0.75) / 0.03) ** 2)
+    arch.data[:, :, bad_chan] += ghost
+    write_psrfits(files[0], arch, dtype="i2", quiet=True)
+
+    gt = GetTOAs(files, gmodel, quiet=True)
+    gt.get_TOAs(quiet=True)
+    assert len(gt.fit_channel_red_chi2s[0]) == 2
+    zaps_fast = [list(z) for z in gt.get_channels_to_zap(
+        SNR_threshold=0.0, rchi2_threshold=1.5, show=False)[0]]
+    for z in zaps_fast:
+        assert bad_chan in z, (z, bad_chan)
+    rchi2_fast = [np.asarray(r) for r in gt.channel_red_chi2s[0]]
+
+    # legacy path: drop the stored epilogue values
+    gt.fit_channel_red_chi2s = []
+    zaps_legacy = [list(z) for z in gt.get_channels_to_zap(
+        SNR_threshold=0.0, rchi2_threshold=1.5, show=False)[0]]
+    for z in zaps_legacy:
+        assert bad_chan in z, (z, bad_chan)
+    rchi2_legacy = [np.asarray(r) for r in gt.channel_red_chi2s[0]]
+    # the two chi2 conventions (Fourier/DC-less vs time-domain) agree
+    # where it matters: same order of magnitude per channel, identical
+    # flagging of the corrupted channel
+    for rf, rl in zip(rchi2_fast, rchi2_legacy):
+        ratio = rf / np.where(rl > 0, rl, 1.0)
+        assert np.all((ratio > 0.5) & (ratio < 2.0)), (rf, rl)
