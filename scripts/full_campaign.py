@@ -121,30 +121,74 @@ t_align = time.time() - t_align0
 print(f"ppalign template ({args.ntmpl} epochs): {t_align:.1f}s",
       flush=True)
 
-# ---- pptoas over the full campaign ----
-t0 = time.time()
-gt = GetTOAs(files, tmpl, quiet=True)
-gt.get_TOAs(quiet=True)
-write_TOAs(gt.TOA_list, outfile=os.path.join(work, "campaign.tim"),
-           append=False)
-t_run = time.time() - t0
-ntoa = len(gt.TOA_list)
+# ---- pptoas over the full campaign, in resumable slices ----
+# A 1000-epoch x 4096ch x 2048bin run moves ~17 GB of i2 samples over
+# the remote-TPU tunnel; slicing gives progress visibility and lets a
+# killed run resume where it stopped (state + per-slice .tim appended
+# under workdir).  The reference itself chunks big runs this way
+# (max_nfile=999 cfitsio workaround, pptoas.py:18-23).
+state_path = os.path.join(work, "campaign_state.json")
+state = {"slices": {}}
+if os.path.exists(state_path):
+    with open(state_path) as f:
+        state = json.load(f)
 
-# ---- ppzap: post-fit chi2 channel flagging ----
-t_zap0 = time.time()
-zap = gt.get_channels_to_zap(SNR_threshold=8.0, rchi2_threshold=1.3,
-                             show=False)
-nzap = sum(len(ch) for arch in gt.zap_channels for ch in arch) \
-    if hasattr(gt, "zap_channels") else 0
-t_zap = time.time() - t_zap0
+tim_path = os.path.join(work, "campaign.tim")
+SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "100"))
+dd_all, err_all, nzap = [], [], 0
+t_run = 0.0
+t_zap = 0.0
+ntoa = 0
+for lo in range(0, len(files), SL):
+    key = str(lo)
+    if key in state["slices"]:
+        rec = state["slices"][key]
+        dd_all += rec["dd"]
+        err_all += rec["err"]
+        ntoa += rec["ntoa"]
+        t_run += rec["t_run"]
+        t_zap += rec["t_zap"]
+        nzap += rec["nzap"]
+        print(f"slice {lo}: reused ({rec['ntoa']} TOAs, "
+              f"{rec['t_run']:.0f}s)", flush=True)
+        continue
+    t0 = time.time()
+    gt = GetTOAs(files[lo:lo + SL], tmpl, quiet=True)
+    gt.get_TOAs(quiet=True)
+    write_TOAs(gt.TOA_list, outfile=tim_path, append=(lo > 0))
+    t_sl = time.time() - t0
+    # ppzap: post-fit chi2 channel flagging on this slice
+    t_z0 = time.time()
+    gt.get_channels_to_zap(SNR_threshold=8.0, rchi2_threshold=1.3,
+                           show=False)
+    nz = sum(len(ch) for arch in getattr(gt, "zap_channels", [])
+             for ch in arch)
+    t_z = time.time() - t_z0
+    rec = {"dd": [float(x) for x in gt.DeltaDM_means],
+           "err": [float(x) for x in gt.DeltaDM_errs],
+           "ntoa": len(gt.TOA_list), "t_run": t_sl, "t_zap": t_z,
+           "nzap": int(nz)}
+    state["slices"][key] = rec
+    with open(state_path, "w") as f:
+        json.dump(state, f)
+    dd_all += rec["dd"]
+    err_all += rec["err"]
+    ntoa += rec["ntoa"]
+    t_run += t_sl
+    t_zap += t_z
+    nzap += nz
+    print(f"slice {lo}..{min(lo + SL, len(files))}: "
+          f"{rec['ntoa']} TOAs in {t_sl:.0f}s "
+          f"({rec['ntoa'] / t_sl:.1f} TOAs/s), zap {t_z:.0f}s",
+          flush=True)
 
 # accuracy: fitted DeltaDM means vs injected dDMs (the template carries
 # the aligned epochs' mean dDM, so compare against the injected values
 # relative to their mean over the template subset)
-dd = np.asarray(gt.DeltaDM_means)
+dd = np.asarray(dd_all)
 resid = dd - dDMs[:len(dd)]
 resid = resid - np.median(resid)        # template zero-point
-err = np.asarray(gt.DeltaDM_errs)
+err = np.asarray(err_all)
 frac_5sig = float(np.mean(np.abs(resid) <= 5.0 * err + 1e-9))
 print(json.dumps({
     "metric": f"full campaign TOAs/sec ({args.narchive} epochs x "
