@@ -17,6 +17,31 @@ from pulseportraiture_tpu.io.telescopes import telescope_code
 from pulseportraiture_tpu.utils import DataBunch, get_bin_centers
 
 
+def _tune_allocator():
+    """Keep glibc from mmap/munmap-cycling NumPy's large buffers.
+
+    Campaign loads allocate ~10 multi-10-MB arrays per archive; above
+    glibc's default mmap threshold each is mapped and unmapped per call,
+    so every archive re-pays soft page faults on first touch (measured
+    2-3.5 s/archive at 4096x2048 on the campaign host vs ~0.2 s once
+    pages recycle).  Raising the threshold keeps the blocks on the heap
+    for reuse.  Gated by PP_MALLOPT=0; silently skipped off glibc.
+    """
+    import os
+    if os.environ.get("PP_MALLOPT", "1") in ("0", "false"):
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD = -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
+
 def _ephemeris_geometry(arch, nsub):
     """Per-subint (doppler_factors, parallactic_angles).
 
@@ -115,7 +140,11 @@ def load_data(filename, state=None, dedisperse=False, dededisperse=False,
     if freqs.shape[0] != nsub:
         freqs = np.broadcast_to(freqs[:1], (nsub, nchan)).copy()
     phases = get_bin_centers(nbin, lo=0.0, hi=1.0)
-    subints = np.asarray(arch.data, dtype=np.float64)
+    # dtype-preserving: i2/f4 archives flow through as f32 (the upcast
+    # to f64 added no information and doubled every host pass on
+    # campaign loads); f8 archives and dedispersed cubes (the host
+    # rotation is f64) keep f64
+    subints = np.asarray(arch.data)
     Ps = np.asarray(arch.Ps, dtype=np.float64)
     epochs = list(arch.epochs)
     subtimes = list(np.asarray(arch.subtimes, dtype=np.float64))

@@ -18,12 +18,30 @@ review):
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional
 
 import numpy as np
 
 from pulseportraiture_tpu.io import fits
 from pulseportraiture_tpu.io.mjd import MJD
+
+_tls = threading.local()
+
+
+def _scratch(shape, dtype, tag):
+    """Thread-local reusable work buffer (see remove_baseline).
+
+    Buffers are transient within one call — nothing returned to a caller
+    may alias them.  Keyed per tag so concurrent uses inside a call stay
+    distinct; replaced when the requested shape grows.
+    """
+    buf = getattr(_tls, tag, None)
+    n = int(np.prod(shape))
+    if buf is None or buf.dtype != np.dtype(dtype) or buf.size < n:
+        buf = np.empty(n, dtype)
+        setattr(_tls, tag, buf)
+    return buf[:n].reshape(shape)
 
 
 @dataclasses.dataclass
@@ -173,33 +191,50 @@ class Archive:
         self.weights = self.weights.sum(1, keepdims=True)
 
     def remove_baseline(self, frac=0.15):
-        """Subtract the off-pulse baseline per profile.
+        """Subtract the off-pulse baseline per profile, in place.
 
         PSRCHIVE-style windowed minimum: the baseline is the mean over the
         duty-cycle window (width frac*nbin) with the lowest smoothed mean
         (cf. reference reliance on arch.remove_baseline(), pplib.py:2690).
+        The window search runs in float32 (the estimate's accuracy is set
+        by noise/sqrt(wlen), far above f32 rounding) through thread-local
+        scratch buffers: campaign loads call this once per archive, and
+        fresh multi-10-MB allocations per call dominated the host cost
+        via soft page faults.  Window selection argmins the *unscaled*
+        smoothed window sums (dividing by wlen cannot change the argmin
+        but, in f32, used to merge sub-ulp near-ties; selection may
+        differ from pre-round-3 builds by one window among candidates
+        equal to <=1 ulp — far below the estimator's own noise).
         """
         nbin = self.nbin
         wlen = max(1, int(frac * nbin))
-        # window search in float32: the baseline estimate's accuracy is
-        # set by noise/sqrt(wlen), far above f32 rounding, and the f32
-        # cumsum pipeline halves this call's cost on campaign loads
-        d32 = np.asarray(self.data, dtype=np.float32)
-        csum = np.cumsum(np.concatenate([d32, d32[..., :wlen]],
-                                        axis=-1, dtype=np.float32),
-                         axis=-1)
-        wmean = (csum[..., wlen:] - csum[..., :-wlen]) / np.float32(wlen)
+        d = self.data
+        d2 = np.asarray(d, dtype=np.float32).reshape(-1, nbin)
+        nprof = d2.shape[0]
+        ext = nbin + wlen
+        A = _scratch((nprof, ext), np.float32, "blA")
+        W = _scratch((nprof, nbin), np.float32, "blW")
+        # wrapped window sums via one padded in-place cumsum
+        A[:, :nbin] = d2
+        A[:, nbin:] = d2[:, :wlen]
+        np.cumsum(A, axis=-1, out=A)
+        np.subtract(A[:, wlen:], A[:, :-wlen], out=W)
+        np.divide(W, np.float32(wlen), out=W)
         # select the window on a further-smoothed curve (PSRCHIVE smooths
         # before taking the minimum): choosing the raw minimum of noisy
         # window means biases the baseline low by ~sqrt(2 ln n)/sqrt(wlen)
         # sigma; double smoothing cuts that ~4x while the subtracted value
         # stays the unsmoothed window mean.
-        c2 = np.cumsum(np.concatenate([wmean, wmean[..., :wlen]], axis=-1),
-                       axis=-1)
-        sel = (c2[..., wlen:] - c2[..., :-wlen]) / wlen
+        A[:, :nbin] = W
+        A[:, nbin:] = W[:, :wlen]
+        np.cumsum(A, axis=-1, out=A)
+        sel = _scratch((nprof, nbin), np.float32, "blS")
+        np.subtract(A[:, wlen:], A[:, :-wlen], out=sel)
         imin = np.argmin(sel, axis=-1)
-        base = np.take_along_axis(wmean, imin[..., None], axis=-1)
-        self.data = self.data - base
+        base = W[np.arange(nprof), imin]
+        if not d.flags.writeable:
+            d = self.data = d.copy()
+        d -= base.astype(d.dtype).reshape(d.shape[:-1] + (1,))
 
 
 def write_psrfits(path, arch: Archive, dtype="f4", quiet=True):
@@ -284,16 +319,22 @@ def read_psrfits(path) -> Archive:
     offs = np.asarray(sub.columns["DAT_OFFS"], dtype="f8").reshape(
         nsub, npol * nchan)
     raw_i2 = raw_scl = None
+    # data stays at its native storage width: i2/f4 columns carry f32
+    # information, so the in-memory cube is f32 (halves every host pass
+    # on campaign loads; consumers that need f64 math upcast at the
+    # point of use).  A genuine f8 DATA column keeps f8.
     if raw.dtype == np.int16:
         from pulseportraiture_tpu.io import native
         raw_i2 = raw.reshape(nsub, npol, nchan, nbin)
         raw_scl = scl.astype("f4").reshape(nsub, npol, nchan)
         data = native.dequantize_i2(
-            raw, scl.astype("f4"), offs.astype("f4")).astype("f8").reshape(
+            raw, scl.astype("f4"), offs.astype("f4")).reshape(
             nsub, npol, nchan, nbin)
     else:
-        data = (raw.astype("f8") * scl[..., None] +
-                offs[..., None]).reshape(nsub, npol, nchan, nbin)
+        out_dt = "f8" if raw.dtype == np.float64 else "f4"
+        data = (raw.astype(out_dt) * scl.astype(out_dt)[..., None] +
+                offs.astype(out_dt)[..., None]).reshape(
+            nsub, npol, nchan, nbin)
     start = MJD(primary.header["STT_IMJD"], primary.header["STT_SMJD"],
                 primary.header["STT_OFFS"])
     epochs = [start.add_seconds(float(o)) for o in sub.columns["OFFS_SUB"]]

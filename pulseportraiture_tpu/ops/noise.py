@@ -38,19 +38,23 @@ def get_noise_PS(data, frac=4, chans=False):
         d = np.asarray(data)
         if d.dtype not in (np.float32, np.float64):
             d = d.astype(np.float64)
+        # only the top-1/frac tail of the power spectrum is used, so the
+        # powers are formed on that slice alone (bitwise-identical to
+        # slicing the full pows array; ~4x less elementwise work)
         if chans:
             n = d.shape[-1]
             FFT = np.fft.rfft(d, axis=-1)
-            pows = (FFT.real ** 2 + FFT.imag ** 2) / n
-            kc = int((1 - 1.0 / frac) * pows.shape[-1])
-            out = np.sqrt(np.mean(pows[..., kc:], axis=-1))
+            kc = int((1 - 1.0 / frac) * FFT.shape[-1])
+            t = FFT[..., kc:]
+            out = np.sqrt(np.mean((t.real ** 2 + t.imag ** 2) / n,
+                                  axis=-1))
         else:
             raveld = d.ravel()
             n = raveld.shape[0]
             FFT = np.fft.rfft(raveld)
-            pows = (FFT.real ** 2 + FFT.imag ** 2) / n
-            kc = int((1 - 1.0 / frac) * pows.shape[0])
-            out = np.sqrt(np.mean(pows[kc:]))
+            kc = int((1 - 1.0 / frac) * FFT.shape[0])
+            t = FFT[kc:]
+            out = np.sqrt(np.mean((t.real ** 2 + t.imag ** 2) / n))
         dt = getattr(data, "dtype", None)
         if dt is not None and jnp.issubdtype(dt, jnp.floating):
             out = np.asarray(out, dtype=dt)

@@ -469,3 +469,46 @@ def test_foreign_4pol_coherence_fixture(tmp_path):
     for t in gt.TOA_list:
         assert np.isfinite(t.TOA_error) and t.TOA_error > 0
         assert np.isfinite(t.DM)
+
+
+def test_remove_baseline_matches_closed_form():
+    """The scratch-buffer in-place baseline equals the direct algorithm.
+
+    Reference behavior: PSRCHIVE-style minimum-window baseline
+    (pplib.py:2690 relies on arch.remove_baseline()).  The direct form
+    here is the pre-scratch implementation: padded cumsum window means,
+    double-smoothed selection, subtract the unsmoothed window mean.
+    """
+    import numpy as np
+
+    from pulseportraiture_tpu.io.mjd import MJD
+    from pulseportraiture_tpu.io.psrfits import Archive
+
+    rng = np.random.default_rng(11)
+    for dt in (np.float32, np.float64):
+        for shape in [(1, 1, 64, 256), (2, 1, 8, 64), (3, 4, 16, 128)]:
+            data = (rng.normal(0, 1, shape) + 3.0).astype(dt)
+            nbin = shape[-1]
+            wlen = max(1, int(0.15 * nbin))
+            d32 = data.astype(np.float32)
+            csum = np.cumsum(np.concatenate(
+                [d32, d32[..., :wlen]], axis=-1, dtype=np.float32),
+                axis=-1)
+            wmean = (csum[..., wlen:] - csum[..., :-wlen]) / \
+                np.float32(wlen)
+            c2 = np.cumsum(np.concatenate(
+                [wmean, wmean[..., :wlen]], axis=-1), axis=-1)
+            sel = c2[..., wlen:] - c2[..., :-wlen]
+            imin = np.argmin(sel, axis=-1)
+            base = np.take_along_axis(wmean, imin[..., None], axis=-1)
+            expect = data - base
+            arch = Archive(
+                data=data.copy(),
+                freqs=np.linspace(1, 2, shape[2])[None].repeat(shape[0],
+                                                               0),
+                weights=np.ones((shape[0], shape[2])),
+                Ps=np.ones(shape[0]), epochs=[MJD(57000.0)] * shape[0],
+                subtimes=np.ones(shape[0]))
+            arch.remove_baseline()
+            assert arch.data.dtype == dt
+            np.testing.assert_array_equal(arch.data, expect.astype(dt))
