@@ -304,14 +304,27 @@ def fit_gaussian_profile(data, init_params, errs, fit_flags=None,
 def _lm_param_errs(residual_fn, x, mask):
     """1-sigma errors from the JtJ curvature at the solution."""
     J = np.asarray(jax.jacfwd(residual_fn)(x))
+    # a parameter pinned at a bound (e.g. tau=0 into the scattering FT)
+    # can produce non-finite jacobian columns; treat them as
+    # zero-sensitivity directions rather than poisoning the factorization
+    J = np.where(np.isfinite(J), J, 0.0)
     m = np.asarray(mask) > 0
-    JtJ = J.T @ J
+    JtJ = (J.T @ J).astype(np.float64)
     errs = np.zeros(len(x))
     sub = JtJ[np.ix_(m, m)]
     # pinv: singular directions (e.g. tau pinned at its 0 bound) get zero
     # error instead of poisoning every other parameter's error
-    cov = np.linalg.pinv(sub)
-    errs[m] = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+    try:
+        cov = np.linalg.pinv(sub)
+        diag = np.diag(cov)
+    except np.linalg.LinAlgError:
+        # LAPACK SVD can fail to converge on ill-conditioned curvature
+        # (seen on large-nchan Gaussian-portrait fits); fall back to the
+        # uncorrelated diagonal approximation, as the reference's lmfit
+        # does when its covariance estimate is unavailable
+        d = np.diag(sub)
+        diag = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    errs[m] = np.sqrt(np.clip(diag, 0.0, None))
     return errs
 
 
