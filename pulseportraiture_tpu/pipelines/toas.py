@@ -36,8 +36,10 @@ def _auto_fit_chunk(shape):
     (2 x nchan x nharm); the shared model/M2 amortize.  The chunk is the
     largest power of two whose total fits ~60% of device memory (HBM via
     memory_stats when the backend reports it, else PP_HBM_GB, default 16
-    = one TPU v5e chip).  At 4096ch x 2048bin this yields 64; the old
-    fixed 256 OOMed a single chip (VERDICT round 1, weak #2).
+    = one TPU v5e chip).  At 4096ch x 2048bin this yields 128 on the
+    fused-setup path (64 on the direct path, which also holds the split
+    rFFT transients); the old fixed 256 OOMed a single chip (VERDICT
+    round 1, weak #2).
     """
     nchan, nbin = int(shape[0]), int(shape[1])
     nharm = nbin // 2 + 1

@@ -128,13 +128,18 @@ print(f"ppalign template ({args.ntmpl} epochs): {t_align:.1f}s",
 # under workdir).  The reference itself chunks big runs this way
 # (max_nfile=999 cfitsio workaround, pptoas.py:18-23).
 state_path = os.path.join(work, "campaign_state.json")
-state = {"slices": {}}
+SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "100"))
+state = {"slice": SL, "slices": {}}
 if os.path.exists(state_path):
     with open(state_path) as f:
-        state = json.load(f)
+        prev = json.load(f)
+    if prev.get("slice") == SL:
+        state = prev
+    else:
+        print(f"slice size changed ({prev.get('slice')} -> {SL}); "
+              "restarting TOA stage", flush=True)
 
 tim_path = os.path.join(work, "campaign.tim")
-SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "100"))
 dd_all, err_all, nzap = [], [], 0
 t_run = 0.0
 t_zap = 0.0
