@@ -512,3 +512,21 @@ def test_remove_baseline_matches_closed_form():
             arch.remove_baseline()
             assert arch.data.dtype == dt
             np.testing.assert_array_equal(arch.data, expect.astype(dt))
+
+    # non-contiguous data view (Stokes pscrunch keeps pol 0 as a slice):
+    # the scratch path must read through the view and subtract in place
+    data = (rng.normal(0, 1, (2, 4, 8, 64)) + 3.0).astype(np.float32)
+    arch = Archive(data=data.copy(),
+                   freqs=np.linspace(1, 2, 8)[None].repeat(2, 0),
+                   weights=np.ones((2, 8)), Ps=np.ones(2),
+                   epochs=[MJD(57000.0)] * 2, subtimes=np.ones(2),
+                   state="Stokes")
+    arch.pscrunch()
+    assert not arch.data.flags["C_CONTIGUOUS"]
+    ref = Archive(data=np.ascontiguousarray(data[:, :1]),
+                  freqs=np.linspace(1, 2, 8)[None].repeat(2, 0),
+                  weights=np.ones((2, 8)), Ps=np.ones(2),
+                  epochs=[MJD(57000.0)] * 2, subtimes=np.ones(2))
+    ref.remove_baseline()
+    arch.remove_baseline()
+    np.testing.assert_array_equal(arch.data, ref.data)
