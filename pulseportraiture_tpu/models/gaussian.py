@@ -303,13 +303,20 @@ def fit_gaussian_profile(data, init_params, errs, fit_flags=None,
 
 def _lm_param_errs(residual_fn, x, mask):
     """1-sigma errors from the JtJ curvature at the solution."""
-    J = np.asarray(jax.jacfwd(residual_fn)(x))
-    # a parameter pinned at a bound (e.g. tau=0 into the scattering FT)
-    # can produce non-finite jacobian columns; treat them as
-    # zero-sensitivity directions rather than poisoning the factorization
-    J = np.where(np.isfinite(J), J, 0.0)
+
+    def _jtj(xv):
+        J = jax.jacfwd(residual_fn)(xv)   # (m, p) — stays on device
+        # a parameter pinned at a bound (e.g. tau=0 into the scattering
+        # FT) can produce non-finite jacobian columns; treat them as
+        # zero-sensitivity directions rather than poisoning the
+        # factorization
+        J = jnp.where(jnp.isfinite(J), J, 0.0)
+        return J.T @ J
+    # only the (p, p) curvature crosses to the host: at 4096ch x 2048bin
+    # the Jacobian itself is ~0.7 GB, a multi-minute fetch on the remote
+    # TPU tunnel
     m = np.asarray(mask) > 0
-    JtJ = (J.T @ J).astype(np.float64)
+    JtJ = np.asarray(_jtj(x), dtype=np.float64)
     errs = np.zeros(len(x))
     sub = JtJ[np.ix_(m, m)]
     # pinv: singular directions (e.g. tau pinned at its 0 bound) get zero
