@@ -128,7 +128,9 @@ print(f"ppalign template ({args.ntmpl} epochs): {t_align:.1f}s",
 # under workdir).  The reference itself chunks big runs this way
 # (max_nfile=999 cfitsio workaround, pptoas.py:18-23).
 state_path = os.path.join(work, "campaign_state.json")
-SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "100"))
+# 128 = two exact 64-item stream chunks per slice: no tail padding
+# (power-of-two bucketing pads ragged tails with duplicate lanes)
+SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "128"))
 state = {"slice": SL, "slices": {}}
 if os.path.exists(state_path):
     with open(state_path) as f:
