@@ -121,8 +121,19 @@ class Archive:
         inv2 = np.where(np.isinf(freqs), 0.0, inv2)
         ref2 = 0.0 if np.isinf(self.nu0) else float(self.nu0) ** -2.0
         phis = D[:, None] * (inv2 - ref2)           # (nsub, nchan)
-        ramp = np.exp(2.0j * np.pi * phis[:, None, :, None] * k)
-        self.data = np.fft.irfft(F * ramp, n=nbin, axis=-1)
+        # Many-turn dispersion phases (phi*k up to ~1e5 turns at DM~35)
+        # hit glibc trig's slow large-argument reduction (~20x); reduce
+        # mod 1 turn in f64 first (error <= k*eps ~ 1e-11 turns at
+        # k=1024, far inside the 1e-9 phase budget), then cos/sin the
+        # small angle directly into the complex ramp's views.
+        theta = np.mod(phis[:, None, :, None] * k, 1.0)
+        theta *= 2.0 * np.pi
+        ramp = np.empty(np.broadcast_shapes(theta.shape, F.shape),
+                        np.complex128)
+        np.cos(theta, out=ramp.real)
+        np.sin(theta, out=ramp.imag)
+        F *= ramp
+        self.data = np.fft.irfft(F, n=nbin, axis=-1)
 
     def dedisperse(self):
         if not self.dedispersed and self.DM != 0.0:

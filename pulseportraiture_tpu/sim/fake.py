@@ -60,6 +60,46 @@ def dDM(D, D_screen, nu, bw_scint):
     return 10 ** 4.45 * SM * D_screen ** (5 / 6.0) * nu ** (-11 / 6.0)
 
 
+# Campaign generation (scripts/full_campaign.py) evaluates the *same*
+# .gmodel at the same grid for every epoch; the eval is an eager-JAX
+# portrait build that dominates per-archive cost at 4096x2048.  Memoize
+# the last few (modelfile, grid, period) evals and their rFFTs so each
+# epoch costs one ramp multiply + one irFFT.
+_MODEL_EVAL_CACHE = {}
+
+
+def _eval_model_portrait(modelfile, phases, freqs, P, ft=False):
+    import os
+
+    from pulseportraiture_tpu.models.gmodel_io import read_model
+    key = (os.path.abspath(modelfile), os.path.getmtime(modelfile),
+           len(phases), freqs.tobytes(), float(P))
+    hit = _MODEL_EVAL_CACHE.get(key)
+    if hit is None:
+        _, _, model = read_model(modelfile, phases, freqs, P, quiet=True)
+        model = np.asarray(model, dtype=np.float64)
+        hit = [model, None]
+        if len(_MODEL_EVAL_CACHE) >= 4:
+            _MODEL_EVAL_CACHE.clear()
+        _MODEL_EVAL_CACHE[key] = hit
+    if ft and hit[1] is None:
+        hit[1] = np.fft.rfft(hit[0], axis=-1)
+    return hit[1] if ft else hit[0]
+
+
+def _host_ramp(phis, nharm):
+    """exp(2j*pi*phis[:, None]*k) in f64 with mod-1 argument reduction
+    (glibc trig's large-argument path is ~20x slower on this host; the
+    reduction error is <= k*eps ~ 1e-11 turns at k=1024)."""
+    k = np.arange(nharm)
+    theta = np.mod(phis[:, None] * k, 1.0)
+    theta *= 2.0 * np.pi
+    ramp = np.empty(theta.shape, np.complex128)
+    np.cos(theta, out=ramp.real)
+    np.sin(theta, out=ramp.imag)
+    return ramp
+
+
 def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
                      nsub=1, npol=1, nchan=512, nbin=2048, nu0=1500.0,
                      bw=800.0, tsub=300.0, phase=0.0, dDM=0.0,
@@ -76,8 +116,9 @@ def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
     should recover DeltaDM ~= dDM.
     """
     import jax.numpy as jnp
+    from pulseportraiture_tpu.config import DCONST
     from pulseportraiture_tpu.models.gmodel_io import read_model
-    from pulseportraiture_tpu.ops.rotate import add_DM_nu, rotate_data
+    from pulseportraiture_tpu.ops.rotate import add_DM_nu
     from pulseportraiture_tpu.ops.scattering import (scattering_portrait_FT,
                                                      scattering_times)
     from pulseportraiture_tpu.ops.transform import phase_transform
@@ -102,31 +143,56 @@ def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
     (name, model_code, nu_ref_model, ngauss, params, fit_flags,
      scattering_index, fit_scat_index) = read_model(modelfile, quiet=True)
 
+    # For dispersed output (dedispersed=False) on the achromatic path,
+    # fold the header DM into the single model rotation and draw the
+    # noise directly in the dispersed frame, instead of rotating
+    # (signal + noise) back afterwards.  The stored signal is
+    # mathematically identical (per-channel phase ramps compose and
+    # commute with the per-channel scattering convolution and
+    # scintillation scaling); the white noise realization differs by a
+    # unitary per-channel rotation, i.e. is statistically identical.
+    # This removes the full-archive f64 FFT pair in dededisperse() --
+    # the dominant generation cost at campaign scale (4096x2048).
+    # (One subtlety: sequential rotations project the Nyquist harmonic
+    # to real at each intermediate irfft; the fold composes the ramps
+    # exactly, which differs by O(|X_Nyquist|) -- negligible for any
+    # band-limited profile, and the fold is the more accurate of the
+    # two.  tests/test_end_to_end.py checks both statements.)
+    fold_hdr_dm = (not dedispersed) and xs is None and par.DM != 0.0
+    inv2 = np.where(np.isinf(freqs), 0.0, freqs) ** -2.0
+    ref2 = 0.0 if np.isinf(nu0) else float(nu0) ** -2.0
     data = np.zeros((nsub, npol, nchan, nbin))
     for isub in range(nsub):
         P = Ps[isub]
-        _, _, model = read_model(modelfile, phases, freqs, P, quiet=True)
-        model = np.asarray(model)
         if xs is None:
             # achromatic rotation + extra dispersion (dedispersed frame
-            # carries -phase, -dDM so fits recover +dDM)
-            rotmodel = np.asarray(rotate_data(jnp.asarray(model), -phase,
-                                              -dDM, P, jnp.asarray(freqs),
-                                              nu0))
+            # carries -phase, -dDM so fits recover +dDM; sign and
+            # reference conventions == ops.rotate.rotate_data /
+            # Archive.dededisperse): one combined Fourier-domain ramp
+            # on the memoized model rFFT, one irFFT
+            mft = _eval_model_portrait(modelfile, phases, freqs, P,
+                                       ft=True)
+            Dtot = DCONST * (dDM + (par.DM if fold_hdr_dm else 0.0)) / P
+            phis = -phase - Dtot * (inv2 - ref2)
+            spec = mft * _host_ramp(phis, mft.shape[-1])
         else:
+            model = _eval_model_portrait(modelfile, phases, freqs, P)
             ph = float(phase_transform(phase, dDM, nu0, nu_DM, P))
             rotmodel = np.asarray(add_DM_nu(jnp.asarray(model), -ph, -dDM,
                                             P, jnp.asarray(freqs), xs=xs,
                                             Cs=Cs if Cs is not None
                                             else [1.0] * len(xs),
                                             nu_ref=nu_DM))
+            spec = None
         if t_scat and not params[1]:  # modelfile tau overrides t_scat
             taus = np.asarray(scattering_times(t_scat / P, alpha, freqs,
                                                nu0))
-            sp_FT = np.asarray(scattering_portrait_FT(jnp.asarray(taus),
-                                                      nbin))
-            rotmodel = np.fft.irfft(sp_FT * np.fft.rfft(rotmodel, axis=-1),
-                                    n=nbin, axis=-1)
+            if spec is None:
+                spec = np.fft.rfft(rotmodel, axis=-1)
+            spec = spec * np.asarray(scattering_portrait_FT(
+                jnp.asarray(taus), nbin))
+        if spec is not None:
+            rotmodel = np.fft.irfft(spec, n=nbin, axis=-1)
         if scint is not False:
             if scint is True:
                 rotmodel = add_scintillation(rotmodel, random=True, nsin=3,
@@ -148,7 +214,10 @@ def make_fake_pulsar(modelfile, ephemeris, outfile="fake_pulsar.fits",
         frontend="fake_rx", backend="fake_be",
         state=state if npol == 4 else "Intensity",
         ephemeris_lines=eph_lines)
-    if not dedispersed:
+    if fold_hdr_dm:
+        # data were generated in the dispersed frame directly
+        arch.dedispersed = False
+    elif not dedispersed:
         arch.dededisperse()
     # default i2: real PSRFITS archives store int16 DATA with per-channel
     # DAT_SCL/DAT_OFFS (what PSRCHIVE writes); this also feeds GetTOAs's

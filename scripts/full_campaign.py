@@ -83,6 +83,8 @@ if missing:
         code = f"""
 import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
 import jax; jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pp_jax_compilation_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 from pulseportraiture_tpu.io.mjd import MJD
 from pulseportraiture_tpu.sim.fake import make_fake_pulsar

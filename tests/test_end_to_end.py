@@ -79,6 +79,68 @@ def test_psrfits_roundtrip(workspace):
     assert abs((arch.epochs[1] - arch.epochs[0]) - 60.0) < 1e-9
 
 
+def test_folded_dm_generation_matches_two_rotation_composition(workspace):
+    """make_fake_pulsar's dispersed-frame fast path (header DM folded
+    into ONE Fourier-domain ramp, sim/fake.py) must match the explicit
+    composition rotate(-phase,-dDM) then dededisperse(-DM) used before
+    round 3 (reference semantics pplib.py:3183-3378).
+
+    The sequential composition is NOT bit-identical in general: each
+    intermediate irfft discards the imaginary part of the rotated
+    Nyquist harmonic, while the fold composes the ramps exactly.  So:
+    (a) against an independent exact one-ramp NumPy composition the
+    fold must agree to f64 accuracy at any nbin; (b) against the
+    sequential rotate_data composition it must agree wherever the model
+    has negligible Nyquist power (any realistic profile/nbin)."""
+    import jax.numpy as jnp
+
+    from pulseportraiture_tpu.config import DCONST
+    from pulseportraiture_tpu.io.par import parse_par, period_at
+    from pulseportraiture_tpu.models.gmodel_io import read_model
+    from pulseportraiture_tpu.ops.rotate import rotate_data
+    from pulseportraiture_tpu.utils import get_bin_centers
+
+    ws, par, gmodel = workspace
+    p = parse_par(par)
+    phase, dDM = 0.0123, 3e-4
+
+    def make(nchan, nbin, tag):
+        path = str(ws / f"folded-{tag}.fits")
+        arch = make_fake_pulsar(gmodel, par, outfile=path, nsub=1,
+                                npol=1, nchan=nchan, nbin=nbin,
+                                nu0=1500.0, bw=800.0, tsub=60.0,
+                                phase=phase, dDM=dDM,
+                                start_MJD=MJD(57202.0), noise_stds=0.0,
+                                dedispersed=False, quiet=True,
+                                dtype="f4", rng=np.random.default_rng(7))
+        assert not arch.dedispersed
+        cw = 800.0 / nchan
+        freqs = np.linspace(1100.0 + cw / 2, 1900.0 - cw / 2, nchan)
+        P = period_at(p, MJD(57202.0).add_seconds(30.0).in_days())
+        _, _, model = read_model(gmodel, get_bin_centers(nbin), freqs, P,
+                                 quiet=True)
+        return arch, np.asarray(model), freqs, P
+
+    # (a) exact one-ramp composition, independent formulation (no mod
+    # reduction), small nbin where the Nyquist harmonic is non-trivial
+    arch, model, freqs, P = make(24, 128, "a")
+    k = np.arange(128 // 2 + 1)
+    phis = -phase - DCONST * (dDM + p.DM) / P * \
+        (freqs ** -2.0 - 1500.0 ** -2.0)
+    want = np.fft.irfft(np.fft.rfft(model, axis=-1) *
+                        np.exp(2j * np.pi * phis[:, None] * k),
+                        n=128, axis=-1)
+    assert np.abs(arch.data[0, 0] - want).max() < 1e-9
+
+    # (b) sequential rotate_data composition at a realistic nbin
+    arch, model, freqs, P = make(24, 512, "b")
+    r1 = rotate_data(jnp.asarray(model), -phase, -dDM, P,
+                     jnp.asarray(freqs), 1500.0)
+    want = np.asarray(rotate_data(r1, 0.0, -p.DM, P, jnp.asarray(freqs),
+                                  1500.0))
+    assert np.abs(arch.data[0, 0] - want).max() < 1e-8
+
+
 def test_load_data_schema(workspace):
     ws, par, gmodel = workspace
     files, _ = _make_epochs(ws, par, gmodel, nfiles=1, nsub=2)
