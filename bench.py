@@ -111,6 +111,20 @@ def main():
     nu_fits = jnp.full((BATCH, 3), nu_fit, jnp.float32)
     init = jnp.zeros((BATCH, 5), jnp.float32)
 
+    # model-band harmonic cap (ops/ct_dft.band_cap_model_ft): the host
+    # f64 model FT, cleaned at 1e-6 relative, caps the stored CT
+    # spectrum at the template's true band — the production model feed
+    # (pipelines compute the same host-side).  PP_BENCH_MHARM=0 opts
+    # out (full NH storage).
+    model_ft_arg, mharm = None, None
+    if os.environ.get("PP_BENCH_MHARM", "1") not in ("0", "false"):
+        from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+        mf64 = np.fft.rfft(model.astype(np.float64), axis=-1)
+        mr_c, mi_c, mharm = band_cap_model_ft(mf64.real, mf64.imag, NBIN)
+        if mharm is not None:
+            model_ft_arg = (jax.device_put(jnp.asarray(mr_c)),
+                            jax.device_put(jnp.asarray(mi_c)))
+
     def run():
         # seed_phase=True performs the production seeding in-program
         # (pipelines/toas.py:392-415): a brute band-summed phase guess,
@@ -122,7 +136,9 @@ def main():
                                        log10_tau=False, max_iter=30,
                                        fft_matmul=True, scattering=False,
                                        dft_precision="high",
-                                       seed_phase=True, scales=scales)
+                                       seed_phase=True, scales=scales,
+                                       model_ft_ri=model_ft_arg,
+                                       mharm=mharm)
 
     res = run()  # compile + warmup
     np.asarray(res.params)  # full fetch: block_until_ready alone can
@@ -153,6 +169,7 @@ def main():
                   "max_abs_dphi_vs_injected": float(max_dphi),
                   "mean_niter": float(np.asarray(res.niter).mean()),
                   "ingest": "int16" if I2 else "float32",
+                  "mharm": mharm,
                   "backend": jax.default_backend()},
     }))
 

@@ -359,14 +359,16 @@ def _brute_phase_seed(gsr, gsi, kvec, Ns=512):
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
-                                    "ct", "pallas", "seed_phase"))
+                                    "ct", "pallas", "seed_phase",
+                                    "mharm"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
                             stats_dtype=None, ct=None, pallas=None,
-                            seed_phase=False, scales=None):
+                            seed_phase=False, scales=None,
+                            model_ft_ri=None, mharm=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
     data_ports: (B, nchan, nbin); model_ports: (B, nchan, nbin), or
@@ -388,6 +390,19 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     summed phase guess computed in-program (fused into the CT setup
     kernel on the CT path; from the channel-mean profiles otherwise) —
     the production seeding, without a separate device dispatch.
+
+    model_ft_ri: optional precomputed natural-order split-real model
+    spectrum (re, im), each (nchan, nharm) — pass a HOST float64 rFFT
+    cast to f32 for the best accuracy (and genuine zeros where the
+    model band ends).  Requires the shared 2-D model path.
+
+    mharm: optional static model-band harmonic cap M' (see
+    ops.ct_dft.ct_geometry / suggest_mharm): on the CT path only
+    harmonics k < NQ*M' are stored and streamed — exact (to f32
+    rounding) whenever the model spectrum is identically zero above,
+    which halves-or-better the setup-write and Newton-loop bytes for
+    narrow-duty-cycle templates at large nbin.  Ignored off the CT
+    path.
 
     Output references use the closed-form zero-covariance branches (the
     polynomial GM branches are host-only; batched GM fits re-reference at
@@ -423,7 +438,12 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         data_ports = data_ports.astype(jnp.float32) * scales[..., None]
         scales = None
     shared_mft = None
-    if model_ports.ndim == 2:
+    if model_ft_ri is not None:
+        assert model_ports.ndim == 2, \
+            "model_ft_ri requires the shared 2-D model path"
+        shared_mft = (jnp.asarray(model_ft_ri[0]).astype(jnp.float32),
+                      jnp.asarray(model_ft_ri[1]).astype(jnp.float32))
+    elif model_ports.ndim == 2:
         # one DFT for the whole batch; M2/S0 materialize once under
         # vmap.  On the CT path the model transform always runs at
         # HIGHEST: it is amortized over the batch, and keeps the f32
@@ -447,17 +467,21 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                                                      permute_spectrum)
         prec_str = dft_precision if isinstance(dft_precision, str) else \
             os.environ.get("PP_DFT_PRECISION", "highest")
-        mrp, mip = permute_spectrum(shared_mft[0], shared_mft[1], nbin)
+        mrp, mip = permute_spectrum(shared_mft[0], shared_mft[1], nbin,
+                                    mharm=mharm)
         dt = jnp.float32 if scales is not None else data_ports.dtype
         errs_FT = errs.astype(dt) * jnp.sqrt(jnp.asarray(nbin / 2.0, dt))
         w = jnp.where(errs_FT > 0.0, errs_FT ** -2.0, 0.0)
         w = w * (weights > 0.0)
-        kvec = jnp.asarray(ct_kvec(nbin), dt)
+        kvec = jnp.asarray(ct_kvec(nbin, mharm=mharm), dt)
+        # ct=True forced off-TPU (tests) runs the kernel interpreted
+        interp = jax.default_backend() != "tpu"
         if seed_phase:
             Grp, Gip, sd, gsr, gsi = ct_setup(data_ports, mrp, mip,
                                               f0_fact=bool(F0_FACT),
                                               dft_precision=prec_str, w=w,
-                                              scale=scales)
+                                              scale=scales, mharm=mharm,
+                                              interpret=interp)
             init_params = init_params.at[:, 0].set(
                 _brute_phase_seed(gsr, gsi, kvec).astype(
                     init_params.dtype))
@@ -465,7 +489,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
                                     f0_fact=bool(F0_FACT),
                                     dft_precision=prec_str,
-                                    scale=scales)
+                                    scale=scales, mharm=mharm,
+                                    interpret=interp)
         M2 = mrp * mrp + mip * mip
         S0 = jnp.sum(M2, axis=-1)
         Sd = jnp.sum(w * sd, axis=-1)

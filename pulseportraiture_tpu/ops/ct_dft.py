@@ -45,39 +45,106 @@ def ct_supported(nbin: int) -> bool:
     return nbin % _LANES == 0 and 2 <= NQ <= 32 and NQ % 2 == 0
 
 
-def ct_geometry(nbin: int):
-    """(NQ, M0, NH): q-factor, per-u block size (always 64), stored
-    harmonics.  Layout: position p = u*M0 + m holds harmonic
-    k = NQ*m + u for p < NQ*M0; the final position NH-1 holds the
-    Nyquist harmonic k = nbin/2.  NH == nbin/2 + 1 — identical storage
-    to the natural order, just permuted."""
+def ct_geometry(nbin: int, mharm=None):
+    """(NQ, M0, NH): q-factor, per-u block size, stored harmonics.
+    Layout: position p = u*M0 + m holds harmonic k = NQ*m + u for
+    p < NQ*M0; in the FULL layout (mharm=None, M0=64) the final
+    position NH-1 additionally holds the Nyquist harmonic k = nbin/2,
+    so NH == nbin/2 + 1 — identical storage to the natural order, just
+    permuted.
+
+    mharm = M' < 64 selects the **model-band harmonic cap**: only
+    harmonics k < NQ*M' are stored (NH = NQ*M', no Nyquist slot).
+    Exact whenever the model spectrum is identically zero at k >=
+    NQ*M' (see suggest_mharm): every dropped Gr/Gi/M2 element would be
+    exactly 0 and contributes nothing to any moment; sd switches to
+    the Parseval form so chi2 keeps the full data power."""
     NQ = nbin // _LANES
-    M0 = nbin // 2 // NQ          # == 64
-    return NQ, M0, NQ * M0 + 1
+    if mharm is None:
+        M0 = nbin // 2 // NQ      # == 64
+        return NQ, M0, NQ * M0 + 1
+    assert 0 < mharm < nbin // 2 // NQ and mharm % 8 == 0, \
+        "mharm must be a positive multiple of 8 below 64"
+    return NQ, mharm, NQ * mharm
 
 
-@functools.lru_cache(maxsize=8)
-def ct_perm_np(nbin: int):
-    """kvec: per-position harmonic number, length NH (a permutation of
-    0..nbin/2)."""
-    NQ, M0, NH = ct_geometry(nbin)
-    p = np.arange(NH - 1)
+@functools.lru_cache(maxsize=16)
+def ct_perm_np(nbin: int, mharm=None):
+    """kvec: per-position harmonic number, length NH (full layout: a
+    permutation of 0..nbin/2; capped: of 0..NQ*mharm-1)."""
+    NQ, M0, NH = ct_geometry(nbin, mharm)
+    p = np.arange(NQ * M0)
     k = NQ * (p % M0) + p // M0
+    if mharm is not None:
+        return k
     return np.concatenate([k, [nbin // 2]])
 
 
-def ct_kvec(nbin: int, dtype=np.float32):
+def ct_kvec(nbin: int, dtype=np.float32, mharm=None):
     """Per-position harmonic numbers as a float vector (NH,)."""
-    return ct_perm_np(nbin).astype(dtype)
+    return ct_perm_np(nbin, mharm).astype(dtype)
 
 
-def permute_spectrum(re, im, nbin):
+def permute_spectrum(re, im, nbin, mharm=None):
     """Natural-order split spectrum (..., nharm) -> CT order (..., NH)
     (one cheap gather at setup time)."""
-    src = ct_perm_np(nbin).astype(np.int64)
+    src = ct_perm_np(nbin, mharm).astype(np.int64)
     re = jnp.asarray(re)
     im = jnp.asarray(im)
     return re[..., src], im[..., src]
+
+
+def suggest_mharm(mr, mi, nbin):
+    """Model-band harmonic cap M' for a HOST natural-order split-real
+    model spectrum, or None when capping is not applicable.
+
+    Returns the smallest multiple of 8 with every harmonic k >= NQ*M'
+    identically zero in f32 across all channels (so the capped CT
+    layout is exact, ct_geometry).  Use band_cap_model_ft to produce
+    such a spectrum — no floating-point rFFT yields genuine zeros on
+    its own (f64 FFT rounding floors at ~1e-15 relative)."""
+    if not ct_supported(nbin):
+        return None
+    NQ, M0, _ = ct_geometry(nbin)
+    a = (np.abs(np.asarray(mr, np.float32)) +
+         np.abs(np.asarray(mi, np.float32)))
+    if a.ndim > 1:
+        a = a.max(axis=tuple(range(a.ndim - 1)))
+    nz = np.nonzero(a)[0]
+    if len(nz) == 0:
+        return None
+    k_last = int(nz[-1])
+    mh = -(-(k_last + 1) // NQ)
+    mh += (-mh) % 8
+    if mh >= M0:
+        return None
+    return mh
+
+
+def band_cap_model_ft(mr, mi, nbin, rel_floor=1e-6):
+    """Clean + cap a HOST natural-order split-real model spectrum for
+    the model-band harmonic cap: returns (mr2, mi2, mharm).
+
+    Harmonics whose amplitude (across every channel) is below
+    rel_floor * max amplitude are zeroed; mharm is the resulting cap
+    (ct_geometry), or None when the band extends too far for capping
+    to pay.  The default floor, 1e-6 relative, sits below the f32
+    arithmetic noise the fit already carries (the stored time-domain
+    model is f32, which itself injects a ~1e-7 relative white floor
+    across the whole band), so dropping these harmonics perturbs the
+    fitted (phi, DM) by less than the existing f32 rounding budget —
+    a numerical cleanup, not a modeling change.  The threshold is
+    explicit because no floating-point rFFT produces genuine zeros
+    (f64 FFT rounding floors at ~1e-15 relative)."""
+    mr = np.asarray(mr, np.float32).copy()
+    mi = np.asarray(mi, np.float32).copy()
+    a = np.abs(mr) + np.abs(mi)
+    if a.ndim > 1:
+        a = a.max(axis=tuple(range(a.ndim - 1)))
+    dead = a < rel_floor * a.max()
+    mr[..., dead] = 0.0
+    mi[..., dead] = 0.0
+    return mr, mi, suggest_mharm(mr, mi, nbin)
 
 
 def unpermute_spectrum(re_p, im_p, nbin):
@@ -108,8 +175,9 @@ def _ct_consts_np(nbin: int):
 
 
 def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
-                             with_scale=False):
-    NQ, M0, NH = ct_geometry(nbin)
+                             with_scale=False, mharm=None):
+    NQ, M0, NH = ct_geometry(nbin, mharm)
+    capped = mharm is not None
     E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
@@ -137,6 +205,15 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
         if with_scale:
             x = x.astype(jnp.float32) * scl_ref[0]     # (CBLK, 1) scale
         sd_acc = jnp.zeros_like(x[:, :1])
+        if capped:
+            # model-band harmonic cap: the dropped Gr/Gi/M2 elements
+            # are exactly zero (model zero there), but the data power
+            # sum must still cover ALL harmonics — Parseval gives it
+            # from the time domain: sum_{k=1..N/2}|X_k|^2 =
+            # (N*sum x^2 - X0^2)/2 + X_ny^2/2   (X0, X_ny accumulated
+            # below; both are exact DFT bins).
+            sx2 = jnp.sum(x * x, axis=-1, keepdims=True)
+            x0 = jnp.sum(x, axis=-1, keepdims=True)
         ny = None
         dc2 = None
         for u in range(NQ):
@@ -176,7 +253,7 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
                          preferred_element_type=jnp.float32) - \
                 jnp.dot(Br, S2, precision=prec,
                         preferred_element_type=jnp.float32)
-            if u == 0 and not f0_fact:
+            if u == 0 and not f0_fact and not capped:
                 dc2 = Xr[:, :1] * Xr[:, :1] + Xi[:, :1] * Xi[:, :1]
             mr = mr_ref[:, u * M0:(u + 1) * M0]
             mi = mi_ref[:, u * M0:(u + 1) * M0]
@@ -184,8 +261,9 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
             giv = Xi * mr - Xr * mi
             gr_ref[0, :, u * M0:(u + 1) * M0] = grv
             gi_ref[0, :, u * M0:(u + 1) * M0] = giv
-            sd_acc = sd_acc + jnp.sum(Xr * Xr + Xi * Xi, axis=-1,
-                                      keepdims=True)
+            if not capped:
+                sd_acc = sd_acc + jnp.sum(Xr * Xr + Xi * Xi, axis=-1,
+                                          keepdims=True)
             if with_seed:
                 if u == 0 and not f0_fact:
                     # DC position is zeroed in the outputs below
@@ -195,25 +273,35 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
                         [jnp.zeros_like(giv[:, :1]), giv[:, 1:]], axis=-1)
                 seg_r.append(jnp.sum(wblk * grv, axis=0, keepdims=True))
                 seg_i.append(jnp.sum(wblk * giv, axis=0, keepdims=True))
-        # Nyquist position (real-valued harmonic nbin/2)
-        mr_n = mr_ref[:, NH - 1:NH]
-        mi_n = mi_ref[:, NH - 1:NH]
-        gr_ref[0, :, NH - 1:NH] = ny * mr_n
-        gi_ref[0, :, NH - 1:NH] = -(ny * mi_n)
-        sd_acc = sd_acc + ny * ny
+        if capped:
+            # Parseval data power over ALL harmonics k=1..N/2 (plus DC
+            # when f0_fact keeps it) — exact regardless of the cap
+            sd_acc = 0.5 * (jnp.float32(nbin) * sx2 - x0 * x0) + \
+                0.5 * (ny * ny)
+            if f0_fact:
+                sd_acc = sd_acc + x0 * x0
+        else:
+            # Nyquist position (real-valued harmonic nbin/2)
+            mr_n = mr_ref[:, NH - 1:NH]
+            mi_n = mi_ref[:, NH - 1:NH]
+            gr_ref[0, :, NH - 1:NH] = ny * mr_n
+            gi_ref[0, :, NH - 1:NH] = -(ny * mi_n)
+            sd_acc = sd_acc + ny * ny
         if not f0_fact:
             # DC harmonic zeroed (position 0 is u=0, m=0)
             zero = jnp.zeros_like(ny)
             gr_ref[0, :, 0:1] = zero
             gi_ref[0, :, 0:1] = zero
-            sd_acc = sd_acc - dc2
+            if not capped:
+                sd_acc = sd_acc - dc2
         sd_ref[0] = sd_acc
         if with_seed:
             from jax.experimental import pallas as pl
-            seg_r.append(jnp.sum(wblk * (ny * mr_n), axis=0,
-                                 keepdims=True))
-            seg_i.append(jnp.sum(wblk * (-(ny * mi_n)), axis=0,
-                                 keepdims=True))
+            if not capped:
+                seg_r.append(jnp.sum(wblk * (ny * mr_n), axis=0,
+                                     keepdims=True))
+                seg_i.append(jnp.sum(wblk * (-(ny * mi_n)), axis=0,
+                                     keepdims=True))
             ssr = jnp.concatenate(seg_r, axis=-1)      # (1, NH)
             ssi = jnp.concatenate(seg_i, axis=-1)
             i = pl.program_id(1)
@@ -232,10 +320,16 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
 
 
 @functools.partial(jax.jit, static_argnames=("f0_fact", "dft_precision",
-                                             "interpret"))
+                                             "interpret", "mharm"))
 def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
-             interpret=False, w=None, scale=None):
+             interpret=False, w=None, scale=None, mharm=None):
     """Fused CT-DFT + cross-spectrum: (Gr_p, Gi_p, sd) in CT order.
+
+    mharm: optional model-band harmonic cap M' (ct_geometry): mr_p/mi_p
+    must be the capped (nchan, NQ*M') permuted spectrum
+    (permute_spectrum(..., mharm=M')), outputs shrink to NQ*M'
+    positions, and sd switches to the exact Parseval form.  Only valid
+    when the model is identically zero at k >= NQ*M' (suggest_mharm).
 
     x: (nchan, nbin) or batched (B, nchan, nbin) real data; mr_p/mi_p:
     the (nchan, NH) model spectrum already in CT order
@@ -265,7 +359,9 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     B, nchan, nbin = x.shape
     assert ct_supported(nbin)
     assert mr_p.ndim == 2, "model spectrum is (nchan, NH), shared"
-    NQ, M0, NH = ct_geometry(nbin)
+    NQ, M0, NH = ct_geometry(nbin, mharm)
+    assert mr_p.shape[-1] == NH, \
+        f"model spectrum has {mr_p.shape[-1]} positions, layout wants {NH}"
     # Mosaic dots support only DEFAULT and HIGHEST; HIGH maps to
     # HIGHEST (the in-kernel matmuls are ~8x smaller than the direct
     # DFT, so the extra passes cost little)
@@ -274,6 +370,10 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
             "default": jax.lax.Precision.DEFAULT}[
         (dft_precision or "highest").lower()]
     _, _, C2np, S2np, TCnp, TSnp, ALTnp = _ct_consts_np(nbin)
+    if mharm is not None:
+        # step-2 dots only produce the kept m columns
+        C2np = C2np[:, :M0]
+        S2np = S2np[:, :M0]
     with_scale = scale is not None
     if with_scale:
         assert not f0_fact, \
@@ -304,7 +404,7 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     grid = (B, ntot // cblk)
     kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec,
                                     with_seed=with_seed,
-                                    with_scale=with_scale)
+                                    with_scale=with_scale, mharm=mharm)
     out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))

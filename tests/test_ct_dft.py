@@ -188,3 +188,107 @@ def test_ct_setup_i2_scale_ingest(nbin=512):
         a, b = np.asarray(a), np.asarray(b)
         s = np.abs(b).max() + 1e-30
         assert np.abs(a - b).max() / s < 2e-6
+
+
+def test_model_band_harmonic_cap_exact(nbin=256):
+    """Capped CT layout (ct_geometry mharm): kept positions equal the
+    full layout's (to matmul-rounding), dropped positions are exactly
+    zero in the full layout (model zero there), sd keeps the FULL data
+    power via Parseval, and the seed cross-spectrum matches."""
+    from pulseportraiture_tpu.ops.ct_dft import ct_perm_np, suggest_mharm
+
+    rng = np.random.default_rng(11)
+    B, nchan = 3, 24
+    NQ, M0, NH = ct_geometry(nbin)
+    x = rng.normal(0, 1, (B, nchan, nbin)).astype(np.float32)
+    prof = np.exp(-0.5 * ((np.arange(nbin) / nbin - 0.4) / 0.05) ** 2)
+    m = (prof[None, :] * rng.uniform(0.5, 2, (nchan, 1)))
+    mf = np.fft.rfft(m, axis=-1)
+    mf[:, 25:] = 0.0                       # band-limited template
+    mr = mf.real.astype(np.float32)
+    mi = mf.imag.astype(np.float32)
+    mh = suggest_mharm(mr, mi, nbin)
+    assert mh is not None and mh * NQ >= 25 and mh < M0
+    w = rng.uniform(0.5, 1.5, (B, nchan)).astype(np.float32)
+
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin)
+    mrp_c, mip_c = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi),
+                                    nbin, mharm=mh)
+    full = ct_setup(jnp.asarray(x), mrp, mip, f0_fact=False,
+                    interpret=True, w=jnp.asarray(w))
+    cap = ct_setup(jnp.asarray(x), mrp_c, mip_c, f0_fact=False,
+                   interpret=True, w=jnp.asarray(w), mharm=mh)
+    Grf, Gif, sdf, gsrf, gsif = [np.asarray(a) for a in full]
+    Grc, Gic, sdc, gsrc, gsic = [np.asarray(a) for a in cap]
+    kv_f = ct_perm_np(nbin)
+    kv_c = ct_perm_np(nbin, mh)
+    pos_f = {k: i for i, k in enumerate(kv_f)}
+    sel = [pos_f[k] for k in kv_c]
+    s = np.abs(Grf).max()
+    assert np.abs(Grc - Grf[:, :, sel]).max() / s < 1e-6
+    assert np.abs(Gic - Gif[:, :, sel]).max() / s < 1e-6
+    # every dropped position is exactly zero in the full layout
+    assert np.abs(np.delete(Grf, sel, axis=2)).max() == 0.0
+    assert np.abs(np.delete(Gif, sel, axis=2)).max() == 0.0
+    # Parseval sd equals the direct spectral sum (full data power)
+    assert np.abs(sdc - sdf).max() / np.abs(sdf).max() < 1e-5
+    ss = np.abs(gsrf).max()
+    assert np.abs(gsrc - gsrf[:, sel]).max() / ss < 1e-5
+    assert np.abs(gsic - gsif[:, sel]).max() / ss < 1e-5
+
+
+def test_capped_full_fit_matches_uncapped(nbin=512):
+    """fit_portrait_full_batch(mharm=...) recovers the same (phi, DM)
+    as the uncapped CT path when the model is band-limited."""
+    import jax
+
+    from pulseportraiture_tpu.fitters.portrait import \
+        fit_portrait_full_batch
+
+    rng = np.random.default_rng(13)
+    B, nchan = 2, 24
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.04) ** 2) + \
+        0.5 * np.exp(-0.5 * ((xg - 0.5) / 0.06) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    model = model64.astype(np.float32)
+    # clean + cap the host model FT: harmonics below 1e-6 of peak
+    # (pure FFT rounding noise for this band-limited template) are
+    # zeroed so the cap is exact (ops.ct_dft.band_cap_model_ft)
+    from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    P = 0.003
+    from pulseportraiture_tpu.config import DCONST
+    k = 2j * np.pi * np.arange(nbin // 2 + 1)
+    phis0 = rng.uniform(-0.01, 0.01, B)
+    dms0 = rng.uniform(-2e-4, 2e-4, B)
+    nu_fit = freqs.mean()
+    data = np.empty((B, nchan, nbin), np.float32)
+    for i in range(B):
+        sh = phis0[i] + DCONST * dms0[i] / P * (freqs ** -2 -
+                                                nu_fit ** -2)
+        data[i] = np.fft.irfft(mf64 * np.exp(-k * sh[:, None]),
+                               n=nbin, axis=-1)
+    data += rng.normal(0, 0.05, data.shape).astype(np.float32)
+    data = jnp.asarray(data)
+    args = (data, jnp.asarray(model), jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, P, jnp.float32), jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.05, jnp.float32))
+    kw = dict(nu_fits=jnp.full((B, 3), nu_fit, jnp.float32),
+              fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=20,
+              scattering=False, seed_phase=True, ct=True,
+              pallas=False, fft_matmul=True,
+              model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)))
+    r_full = fit_portrait_full_batch(*args, **kw)
+    r_cap = fit_portrait_full_batch(*args, mharm=mh, **kw)
+    pf = np.asarray(r_full.params)
+    pc = np.asarray(r_cap.params)
+    assert np.abs(pc[:, 0] - pf[:, 0]).max() < 1e-6          # phi
+    assert np.abs(pc[:, 1] - pf[:, 1]).max() < 1e-6          # DM
+    assert np.allclose(np.asarray(r_cap.chi2), np.asarray(r_full.chi2),
+                       rtol=1e-4)
+    assert np.allclose(np.asarray(r_cap.snr), np.asarray(r_full.snr),
+                       rtol=1e-3)
