@@ -379,9 +379,33 @@ class GetTOAs:
                     model_rot = np.asarray(
                         rotate_portrait_np(model, 0.0, -DM_base, P,
                                            freqs, nu_anchor), fit_dtype)
-                    cached = (model_rot, nu_anchor)
+                    # model-band harmonic cap (ops/ct_dft): the host
+                    # f64 model FT, cleaned at 1e-6 relative, caps the
+                    # stored CT spectrum at the template's true band —
+                    # 2x+ less setup-write and Newton-loop traffic for
+                    # narrow-duty-cycle templates (PERF.md).  Computed
+                    # once per (freqs, P, DM_base); the device buffers
+                    # upload once at first dispatch.  PP_MHARM=0 opts
+                    # out.
+                    # f32 fits only: the 1e-6 cleaning floor sits below
+                    # the f32 arithmetic noise, but NOT below f64's —
+                    # x64 (CPU parity) runs keep the full band.
+                    mft_entry = None
+                    if fit_dtype == np.float32 and \
+                            os.environ.get("PP_MHARM", "1") not in \
+                            ("0", "false"):
+                        from pulseportraiture_tpu.ops.ct_dft import \
+                            band_cap_model_ft
+                        mf64 = np.fft.rfft(
+                            model_rot.astype(np.float64), axis=-1)
+                        mr_c, mi_c, mh = band_cap_model_ft(
+                            mf64.real, mf64.imag, nbin)
+                        if mh is not None:
+                            mft_entry = {"mr": mr_c, "mi": mi_c,
+                                         "mharm": mh, "dev": None}
+                    cached = (model_rot, nu_anchor, mft_entry)
                     model_cache[mkey] = cached
-                model, nu_anchor = cached
+                model, nu_anchor, mft_entry = cached
                 if nu_fits is not None:
                     nu_fit = float(np.atleast_1d(nu_fits)[0])
                 else:
@@ -432,7 +456,7 @@ class GetTOAs:
                             weights=weights, port=port_fit, scale=scale,
                             errs=errs, okc=okc, model=model,
                             nu_fit=nu_fit, nu_anchor=nu_anchor,
-                            init=init,
+                            init=init, mft=mft_entry,
                             sub_flags=sub_flags, DM_base=DM_base)
                 if not batchable:
                     # this subint will be fitted per-subint in the
@@ -630,6 +654,16 @@ class GetTOAs:
                 seed_phase=True, scales=scales_arg,
                 dft_precision=os.environ.get("PP_DFT_PRECISION",
                                              "high"))
+            mft = part[0][1].get("mft")
+            if shared and mft is not None and mesh is None:
+                # model-band harmonic cap: host-cleaned f64 model FT
+                # (uploaded once per cached model) + the static cap
+                if mft["dev"] is None:
+                    mft["dev"] = (
+                        jax.device_put(jnp.asarray(mft["mr"])),
+                        jax.device_put(jnp.asarray(mft["mi"])))
+                fit_kw["model_ft_ri"] = mft["dev"]
+                fit_kw["mharm"] = mft["mharm"]
             if mesh is not None:
                 from pulseportraiture_tpu.fitters.portrait import \
                     _use_ct_setup

@@ -395,3 +395,39 @@ def test_zap_fast_path_flags_bad_channels_like_legacy(workspace):
     for rf, rl in zip(rchi2_fast, rchi2_legacy):
         ratio = rf / np.where(rl > 0, rl, 1.0)
         assert np.all((ratio > 0.5) & (ratio < 2.0)), (rf, rl)
+
+
+def test_pipeline_harmonic_cap_f32_matches_uncapped(workspace):
+    """The f32 pipeline's model-band harmonic cap (pipelines/toas.py
+    mft prep + ops/ct_dft.band_cap_model_ft) leaves TOA phases and DMs
+    within their statistical errors of the uncapped run.  x64 runs
+    never cap (the cleaning floor is only below f32 noise)."""
+    import os
+
+    import jax
+
+    ws, par, gmodel = workspace
+    files, _ = _make_epochs(ws, par, gmodel, nfiles=2, nsub=2,
+                            nchan=24, nbin=512, noise=0.3)
+    assert jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        def run():
+            gt = GetTOAs(files, gmodel, quiet=True)
+            gt.get_TOAs(quiet=True)
+            return gt.TOA_list
+
+    # capped (default) vs uncapped
+        toas_cap = run()
+        os.environ["PP_MHARM"] = "0"
+        try:
+            toas_full = run()
+        finally:
+            os.environ.pop("PP_MHARM", None)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert len(toas_cap) == len(toas_full) == 4
+    for a, b in zip(toas_cap, toas_full):
+        dt_us = abs(a.MJD - b.MJD) * 1e6          # MJD diff is seconds
+        assert dt_us < 0.2 * b.TOA_error, (dt_us, b.TOA_error)
+        assert abs(a.DM - b.DM) < 0.2 * b.DM_error
