@@ -80,8 +80,18 @@ for nchan, nbin in POINTS:
     else:
         init = jnp.zeros((B, 5), jnp.float32)
         flags, scat, l10 = (1, 1, 0, 0, 0), False, False
+    # shared 2-D model (the production fast path: one model DFT + M2
+    # per batch, fused CT setup) + the model-band harmonic cap from the
+    # host f64 model FT (PP_MHARM=0 opts out)
+    model_ft_arg, mharm = None, None
+    if os.environ.get("PP_MHARM", "1") not in ("0", "false"):
+        from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+        mf64 = np.fft.rfft(model.astype(np.float64), axis=-1)
+        mr_c, mi_c, mharm = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+        if mharm is not None:
+            model_ft_arg = (jnp.asarray(mr_c), jnp.asarray(mi_c))
     argsj = (jnp.asarray(data),
-             jnp.asarray(np.broadcast_to(model, (B, nchan, nbin))),
+             jnp.asarray(model),
              init, jnp.full(B, 0.003, jnp.float32),
              jnp.asarray(freqs, jnp.float32),
              jnp.full((B, nchan), 0.1, jnp.float32))
@@ -91,7 +101,8 @@ for nchan, nbin in POINTS:
             return fit_portrait_full_batch(
                 *argsj, fit_flags=flags, log10_tau=l10,
                 max_iter=30, fft_matmul=True, scattering=scat,
-                dft_precision="high")
+                dft_precision="high", seed_phase=True,
+                model_ft_ri=model_ft_arg, mharm=mharm)
         res = run()
         np.asarray(res.params)   # forced fetch: block_until_ready can
         # return early on tunneled remote backends
@@ -114,7 +125,8 @@ for nchan, nbin in POINTS:
                      f"(inj {TAU0:.2e}) alpha={al.mean():+.2f}")
         print(f"{nchan:5d}ch x {nbin:5d}bin: compile+run {t_compile:7.2f}s "
               f"run {t_run:7.4f}s -> {B / t_run:9.1f} fits/s  "
-              f"niter={float(np.asarray(res.niter).mean()):.1f}{extra}",
+              f"niter={float(np.asarray(res.niter).mean()):.1f} "
+              f"mharm={mharm}{extra}",
               flush=True)
     except Exception as e:
         print(f"{nchan:5d}ch x {nbin:5d}bin: FAIL {type(e).__name__}: "
