@@ -101,7 +101,8 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
                                  nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                                  log10_tau=True, max_iter=100,
                                  scattering=None, dft_precision="high",
-                                 interpret=None, seed_phase=False):
+                                 interpret=None, seed_phase=False,
+                                 model_ft_ri=None, mharm=None):
     """Multi-chip fit with the fused CT setup running per shard.
 
     pallas_call does not partition under GSPMD, so the CT kernel runs
@@ -135,9 +136,15 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
         nu_fits = jnp.broadcast_to(freqs.mean(axis=-1)[:, None], (B, 3))
     dt = jnp.asarray(data_ports).dtype
 
-    mft = stats.model_ft(jnp.asarray(model_port, dt), fft_matmul=True,
-                         dft_precision="highest")
-    mrp, mip = permute_spectrum(*mft, nbin)
+    if model_ft_ri is not None:
+        mft = (jnp.asarray(model_ft_ri[0], dt),
+               jnp.asarray(model_ft_ri[1], dt))
+    else:
+        mft = stats.model_ft(jnp.asarray(model_port, dt),
+                             fft_matmul=True, dft_precision="highest")
+    # model-band harmonic cap (ops/ct_dft): the capped CT layout is
+    # channel-local, so it shards exactly like the full one
+    mrp, mip = permute_spectrum(*mft, nbin, mharm=mharm)
 
     s_port = NamedSharding(mesh, P("batch", "chan", None))
     s_spec = NamedSharding(mesh, P("chan", None))
@@ -158,7 +165,8 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
         def local_setup_seed(d, a, b, wl):
             Grp, Gip, sd, gsr, gsi = ct_setup(
                 d, a, b, f0_fact=bool(F0_FACT),
-                dft_precision=dft_precision, interpret=interpret, w=wl)
+                dft_precision=dft_precision, interpret=interpret, w=wl,
+                mharm=mharm)
             # close the channel-sharded band sum for the brute seed:
             # one (B_local, NH) psum over 'chan' on ICI
             gsr = jax.lax.psum(gsr, "chan")
@@ -176,14 +184,15 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
         from pulseportraiture_tpu.fitters.portrait import \
             _brute_phase_seed
         phi0 = _brute_phase_seed(gsr, gsi,
-                                 jnp.asarray(ct_kvec(nbin), dt))
+                                 jnp.asarray(ct_kvec(nbin, mharm=mharm),
+                                             dt))
         init_params = jnp.asarray(init_params, dt).at[:, 0].set(
             phi0.astype(dt))
     else:
         def local_setup(d, a, b):
             return ct_setup(d, a, b, f0_fact=bool(F0_FACT),
                             dft_precision=dft_precision,
-                            interpret=interpret)
+                            interpret=interpret, mharm=mharm)
 
         Grp, Gip, sd = jax.shard_map(
             local_setup, mesh=mesh,
@@ -202,7 +211,7 @@ def fit_portrait_full_sharded_ct(mesh, data_ports, model_port, init_params,
         P=jax.device_put(jnp.asarray(Ps, dt), s_item),
         nu_DM=nu_fits[:, 0].astype(dt), nu_GM=nu_fits[:, 1].astype(dt),
         nu_tau=nu_fits[:, 2].astype(dt), Sd=Sd.astype(dt), S0=S0,
-        nbin=int(nbin), kvec=jnp.asarray(ct_kvec(nbin), dt),
+        nbin=int(nbin), kvec=jnp.asarray(ct_kvec(nbin, mharm=mharm), dt),
         sd_chan=(w * sd).astype(dt))
     axes = stats.FitSetup(Gr=0, Gi=0, M2=None, w=0, freqs=0, P=0,
                           nu_DM=0, nu_GM=0, nu_tau=0, Sd=0, S0=None,

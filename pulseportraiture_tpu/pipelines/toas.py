@@ -655,15 +655,18 @@ class GetTOAs:
                 dft_precision=os.environ.get("PP_DFT_PRECISION",
                                              "high"))
             mft = part[0][1].get("mft")
-            if shared and mft is not None and mesh is None:
+            cap_kw = {}
+            if shared and mft is not None:
                 # model-band harmonic cap: host-cleaned f64 model FT
                 # (uploaded once per cached model) + the static cap
                 if mft["dev"] is None:
                     mft["dev"] = (
                         jax.device_put(jnp.asarray(mft["mr"])),
                         jax.device_put(jnp.asarray(mft["mi"])))
-                fit_kw["model_ft_ri"] = mft["dev"]
-                fit_kw["mharm"] = mft["mharm"]
+                cap_kw = dict(model_ft_ri=mft["dev"],
+                              mharm=mft["mharm"])
+            if mesh is None:
+                fit_kw.update(cap_kw)
             if mesh is not None:
                 from pulseportraiture_tpu.fitters.portrait import \
                     _use_ct_setup
@@ -686,14 +689,23 @@ class GetTOAs:
                     # fast multi-chip path: the fused CT setup runs per
                     # shard under shard_map (channel-local, zero
                     # cross-device setup traffic); the Newton loop runs
-                    # under GSPMD with XLA moments
+                    # under GSPMD with XLA moments.  The harmonic cap
+                    # shards channel-locally; the host model FT gets
+                    # the same zero-channel padding as the time model.
+                    if cap_kw and cpad:
+                        mr_d, mi_d = cap_kw["model_ft_ri"]
+                        cap_kw = dict(
+                            model_ft_ri=(
+                                jnp.pad(mr_d, [(0, cpad), (0, 0)]),
+                                jnp.pad(mi_d, [(0, cpad), (0, 0)])),
+                            mharm=cap_kw["mharm"])
                     bres = fit_portrait_full_sharded_ct(
                         mesh, *fit_args,
                         nu_fits=nu_fits_arg,
                         fit_flags=fit_flags, log10_tau=log10_tau,
                         scattering=None if fit_scat else False,
                         dft_precision=fit_kw["dft_precision"],
-                        seed_phase=True)
+                        seed_phase=True, **cap_kw)
                     inflight.append((bres, None, part, npart, t0))
                     while len(inflight) > _depth_for(chunk_bytes):
                         _fetch_oldest()
