@@ -36,6 +36,12 @@ ap.add_argument("--nbin", type=int, default=2048)
 ap.add_argument("--platform", default=None)
 ap.add_argument("--workdir", default="/tmp/pp_full_campaign")
 ap.add_argument("--gen-only", action="store_true")
+ap.add_argument("--spline", action="store_true",
+                help="insert the ppspline smoothing stage: build a .spl "
+                "model from the averaged template and fit against that "
+                "(the reference's production flow — a raw averaged "
+                "archive carries its own noise into every epoch's fit; "
+                "see BASELINE.md template-noise analysis)")
 args = ap.parse_args()
 
 import jax
@@ -123,13 +129,32 @@ t_align = time.time() - t_align0
 print(f"ppalign template ({args.ntmpl} epochs): {t_align:.1f}s",
       flush=True)
 
+# ---- optional ppspline smoothing stage ----
+t_spline = 0.0
+model_for_toas = tmpl
+suffix = ""
+if args.spline:
+    from pulseportraiture_tpu.portrait import DataPortrait  # noqa: E402
+    spl = os.path.join(work, "template.spl")
+    t_s0 = time.time()
+    if not os.path.exists(spl):
+        dp = DataPortrait(tmpl, quiet=True)
+        dp.normalize_portrait("prof")
+        dp.make_spline_model(max_ncomp=10, smooth=True,
+                             snr_cutoff=150.0, quiet=True)
+        dp.write_model(spl, quiet=True)
+    t_spline = time.time() - t_s0
+    print(f"ppspline model: {t_spline:.1f}s", flush=True)
+    model_for_toas = spl
+    suffix = "_spline"
+
 # ---- pptoas over the full campaign, in resumable slices ----
 # A 1000-epoch x 4096ch x 2048bin run moves ~17 GB of i2 samples over
 # the remote-TPU tunnel; slicing gives progress visibility and lets a
 # killed run resume where it stopped (state + per-slice .tim appended
 # under workdir).  The reference itself chunks big runs this way
 # (max_nfile=999 cfitsio workaround, pptoas.py:18-23).
-state_path = os.path.join(work, "campaign_state.json")
+state_path = os.path.join(work, f"campaign_state{suffix}.json")
 # 128 = two exact 64-item stream chunks per slice: no tail padding
 # (power-of-two bucketing pads ragged tails with duplicate lanes)
 SL = int(os.environ.get("PP_CAMPAIGN_SLICE", "128"))
@@ -143,7 +168,7 @@ if os.path.exists(state_path):
         print(f"slice size changed ({prev.get('slice')} -> {SL}); "
               "restarting TOA stage", flush=True)
 
-tim_path = os.path.join(work, "campaign.tim")
+tim_path = os.path.join(work, f"campaign{suffix}.tim")
 dd_all, err_all, nzap = [], [], 0
 t_run = 0.0
 t_zap = 0.0
@@ -162,7 +187,7 @@ for lo in range(0, len(files), SL):
               f"{rec['t_run']:.0f}s)", flush=True)
         continue
     t0 = time.time()
-    gt = GetTOAs(files[lo:lo + SL], tmpl, quiet=True)
+    gt = GetTOAs(files[lo:lo + SL], model_for_toas, quiet=True)
     gt.get_TOAs(quiet=True)
     write_TOAs(gt.TOA_list, outfile=tim_path, append=(lo > 0))
     t_sl = time.time() - t0
@@ -201,11 +226,13 @@ err = np.asarray(err_all)
 frac_5sig = float(np.mean(np.abs(resid) <= 5.0 * err + 1e-9))
 print(json.dumps({
     "metric": f"full campaign TOAs/sec ({args.narchive} epochs x "
-              f"{args.nchan}ch x {args.nbin}bin, ppalign+pptoas+ppzap)",
+              f"{args.nchan}ch x {args.nbin}bin, "
+              f"ppalign+{'ppspline+' if args.spline else ''}pptoas+ppzap)",
     "value": round(ntoa / t_run, 2),
     "unit": "TOAs/sec",
     "extra": {"ntoa": ntoa, "wall_s": round(t_run, 1),
-              "align_s": round(t_align, 1), "zap_s": round(t_zap, 1),
+              "align_s": round(t_align, 1), "spline_s": round(t_spline, 1),
+              "zap_s": round(t_zap, 1),
               "nzap_channels": int(nzap),
               "dDM_resid_rms": float(np.sqrt(np.mean(resid ** 2))),
               "dDM_resid_within_5sigma": frac_5sig,
