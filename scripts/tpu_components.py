@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""B=32 component timings for the headline fit at 4096x2048, on-chip.
+"""Component timings (default B=32; --batch N) for the headline fit at 4096x2048, on-chip.
 
 Times, with the bench's exact operands: the fused CT setup (with seed
 outputs), one full fgh evaluation (Pallas CT moments + stats), the same
@@ -7,6 +7,7 @@ with bf16-stored spectra, and the complete fit at f32 vs bf16 stats
 (the VERDICT r2 weak-#7 re-measure).  Pipelined timing per CLAUDE.md.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -16,7 +17,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-NCHAN, NBIN, B = 4096, 2048, 32
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=32)
+_ap.add_argument("--cap", action="store_true",
+                 help="also time the model-band harmonic-cap variants "
+                 "(capped ct_setup+seed, capped fgh, capped full fit)")
+_args = _ap.parse_args()
+NCHAN, NBIN, B = 4096, 2048, _args.batch
 
 
 def timed(fn, fetch, args=(), reps=8):
@@ -84,12 +91,35 @@ def main():
         d, a, b, f0_fact=False, dft_precision="high", w=ww))
     dt = timed(f_setup, lambda o: np.asarray(o[2][:, :2]),
                (data, mrp, mip, w))
-    print(f"B32 ct_setup+seed   {dt*1e3:7.2f} ms", flush=True)
+    print(f"B{B} ct_setup+seed   {dt*1e3:7.2f} ms", flush=True)
     Grp, Gip, sd, gsr, gsi = f_setup(data, mrp, mip, w)
 
     f_seed = jax.jit(lambda a, b: _brute_phase_seed(a, b, kvec))
     dt = timed(f_seed, lambda o: np.asarray(o[:2]), (gsr, gsi))
-    print(f"B32 brute seed      {dt*1e3:7.2f} ms", flush=True)
+    print(f"B{B} brute seed      {dt*1e3:7.2f} ms", flush=True)
+
+    if _args.cap:
+        from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+        mf64 = np.fft.rfft(np.asarray(model, np.float64), axis=-1)
+        mrc, mic, mh = band_cap_model_ft(mf64.real, mf64.imag, NBIN)
+        assert mh is not None, "bench model should cap"
+        mrpc, mipc = permute_spectrum(jnp.asarray(mrc, jnp.float32),
+                                      jnp.asarray(mic, jnp.float32),
+                                      NBIN, mharm=mh)
+        mrpc = jax.device_put(mrpc)
+        mipc = jax.device_put(mipc)
+        kvec_c = jnp.asarray(ct_kvec(NBIN, mharm=mh))
+        f_setup_c = jax.jit(lambda d, a, b, ww: ct_setup(
+            d, a, b, f0_fact=False, dft_precision="high", w=ww,
+            mharm=mh))
+        dtc = timed(f_setup_c, lambda o: np.asarray(o[2][:, :2]),
+                    (data, mrpc, mipc, w))
+        print(f"B{B} ct_setup cap(mharm={mh}) {dtc*1e3:7.2f} ms",
+              flush=True)
+        Grc, Gic, sdc, gsrc, gsic = f_setup_c(data, mrpc, mipc, w)
+        f_seed_c = jax.jit(lambda a, b: _brute_phase_seed(a, b, kvec_c))
+        dtc = timed(f_seed_c, lambda o: np.asarray(o[:2]), (gsrc, gsic))
+        print(f"B{B} brute seed cap  {dtc*1e3:7.2f} ms", flush=True)
 
     # ---- 2. one full fgh evaluation (what each Newton iter costs) ----
     M2 = mrp * mrp + mip * mip
@@ -116,7 +146,7 @@ def main():
 
     f_fgh = jax.jit(fgh)
     dt = timed(f_fgh, lambda o: np.asarray(o[0]), (setup_b, xs))
-    print(f"B32 fgh (Pallas CT) {dt*1e3:7.2f} ms  "
+    print(f"B{B} fgh (Pallas CT) {dt*1e3:7.2f} ms  "
           f"{B*2*4*NCHAN*(NBIN//2+1)/dt/1e9:6.1f} GB/s", flush=True)
 
     def fgh_xla(sb, x):
@@ -128,15 +158,26 @@ def main():
 
     f_fghx = jax.jit(fgh_xla)
     dt = timed(f_fghx, lambda o: np.asarray(o[0]), (setup_b, xs))
-    print(f"B32 fgh (XLA)       {dt*1e3:7.2f} ms  "
+    print(f"B{B} fgh (XLA)       {dt*1e3:7.2f} ms  "
           f"{B*2*4*NCHAN*(NBIN//2+1)/dt/1e9:6.1f} GB/s", flush=True)
+
+    if _args.cap:
+        M2c = mrpc * mrpc + mipc * mipc
+        setup_c = setup_b._replace(Gr=Grc, Gi=Gic, M2=M2c,
+                                   Sd=jnp.sum(w * sdc, axis=-1),
+                                   S0=jnp.sum(M2c, axis=-1),
+                                   kvec=kvec_c)
+        dtc = timed(f_fghx, lambda o: np.asarray(o[0]), (setup_c, xs))
+        nhc = int(kvec_c.shape[-1])
+        print(f"B{B} fgh cap (XLA)   {dtc*1e3:7.2f} ms  "
+              f"{B*2*4*NCHAN*nhc/dtc/1e9:6.1f} GB/s", flush=True)
 
     # bf16-stored spectra fgh
     setup_h = setup_b._replace(Gr=Grp.astype(jnp.bfloat16),
                                Gi=Gip.astype(jnp.bfloat16),
                                M2=M2.astype(jnp.bfloat16))
     dt = timed(f_fgh, lambda o: np.asarray(o[0]), (setup_h, xs))
-    print(f"B32 fgh (bf16 Gr/Gi){dt*1e3:7.2f} ms  "
+    print(f"B{B} fgh (bf16 Gr/Gi){dt*1e3:7.2f} ms  "
           f"{B*2*2*NCHAN*(NBIN//2+1)/dt/1e9:6.1f} GB/s eff", flush=True)
 
     # ---- 3. complete fit: f32 vs bf16 stats storage ----
@@ -145,12 +186,12 @@ def main():
     nu_fits = jnp.full((B, 3), nu_fit, jnp.float32)
     init = jnp.zeros((B, 5), jnp.float32)
 
-    def full_fit(sdtype):
+    def full_fit(sdtype, **kw):
         return fit_portrait_full_batch(
             data, model_j, init, Ps, freqs_j, errs, nu_fits=nu_fits,
             fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=30,
             fft_matmul=True, scattering=False, dft_precision="high",
-            seed_phase=True, stats_dtype=sdtype)
+            seed_phase=True, stats_dtype=sdtype, **kw)
 
     for sdtype, label in ((None, "f32 "), ("bfloat16", "bf16")):
         f = lambda: full_fit(sdtype)           # noqa: E731
@@ -167,9 +208,27 @@ def main():
                 mod=True))(rs[-1].params[:, 0], rs[-1].params[:, 1],
                            rs[-1].nu_DM))
         dphi = np.abs(ph - phis0).max()
-        print(f"B32 full fit {label} {dt*1e3:7.2f} ms -> "
+        print(f"B{B} full fit {label} {dt*1e3:7.2f} ms -> "
               f"{B/dt:7.1f} fits/s  niter={float(np.asarray(res.niter).mean()):.2f}  "
               f"max|dphi| {dphi:.2e}", flush=True)
+
+    if _args.cap:
+        from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+        mf64 = np.fft.rfft(np.asarray(model, np.float64), axis=-1)
+        mrc, mic, mh = band_cap_model_ft(mf64.real, mf64.imag, NBIN)
+        f = lambda: full_fit(None, model_ft_ri=(      # noqa: E731
+            jnp.asarray(mrc, jnp.float32),
+            jnp.asarray(mic, jnp.float32)), mharm=mh)
+        res = f()
+        np.asarray(res.params)
+        t0 = time.time()
+        rs = [f() for _ in range(8)]
+        np.asarray(rs[-1].params)
+        dt = (time.time() - t0) / 8
+        print(f"B{B} full fit cap(mharm={mh}) {dt*1e3:7.2f} ms -> "
+              f"{B/dt:7.1f} fits/s  "
+              f"niter={float(np.asarray(res.niter).mean()):.2f}",
+              flush=True)
 
 
 if __name__ == "__main__":
