@@ -464,6 +464,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
 
         from pulseportraiture_tpu.config import F0_FACT
         from pulseportraiture_tpu.ops.ct_dft import (ct_kvec, ct_setup,
+                                                     direct_cap_wins,
+                                                     direct_capped_setup,
                                                      permute_spectrum)
         prec_str = dft_precision if isinstance(dft_precision, str) else \
             os.environ.get("PP_DFT_PRECISION", "highest")
@@ -476,21 +478,28 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         kvec = jnp.asarray(ct_kvec(nbin, mharm=mharm), dt)
         # ct=True forced off-TPU (tests) runs the kernel interpreted
         interp = jax.default_backend() != "tpu"
+        # with the harmonic cap tight enough, the CT kernel's NQ^2
+        # step-1 q-DFT (cap-independent VPU work) loses to one direct
+        # (B*nchan, nbin) @ (nbin, NH+1) MXU matmul over just the kept
+        # harmonics: 43.7 -> 25.5 ms/batch on chip at 4096x2048 mharm=8
+        # (scripts/tpu_capped_setup_probe.py, PERF.md)
+        use_direct = direct_cap_wins(mharm, prec_str)
+        setup_fn = (functools.partial(direct_capped_setup, mharm=mharm,
+                                      dft_precision=prec_str)
+                    if use_direct else
+                    functools.partial(ct_setup, dft_precision=prec_str,
+                                      mharm=mharm, interpret=interp))
         if seed_phase:
-            Grp, Gip, sd, gsr, gsi = ct_setup(data_ports, mrp, mip,
+            Grp, Gip, sd, gsr, gsi = setup_fn(data_ports, mrp, mip,
                                               f0_fact=bool(F0_FACT),
-                                              dft_precision=prec_str, w=w,
-                                              scale=scales, mharm=mharm,
-                                              interpret=interp)
+                                              w=w, scale=scales)
             init_params = init_params.at[:, 0].set(
                 _brute_phase_seed(gsr, gsi, kvec).astype(
                     init_params.dtype))
         else:
-            Grp, Gip, sd = ct_setup(data_ports, mrp, mip,
+            Grp, Gip, sd = setup_fn(data_ports, mrp, mip,
                                     f0_fact=bool(F0_FACT),
-                                    dft_precision=prec_str,
-                                    scale=scales, mharm=mharm,
-                                    interpret=interp)
+                                    scale=scales)
         M2 = mrp * mrp + mip * mip
         S0 = jnp.sum(M2, axis=-1)
         Sd = jnp.sum(w * sd, axis=-1)

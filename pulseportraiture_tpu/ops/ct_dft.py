@@ -155,6 +155,124 @@ def unpermute_spectrum(re_p, im_p, nbin):
     return re_p[..., pos], im_p[..., pos]
 
 
+def direct_cap_wins(mharm, dft_precision) -> bool:
+    """Static dispatch: does the direct capped DFT-matmul setup beat
+    the Pallas CT kernel?
+
+    Cost model anchored to on-chip measurements (PERF.md, probe
+    scripts/tpu_capped_setup_probe.py at 128x4096x2048): the CT
+    kernel's step-1 q-DFT is ~NQ complex VPU MACs per bin regardless
+    of the cap, worth ~32*NQ MXU-equivalent flops at the VPU/MXU
+    throughput ratio; the direct setup is 2*(NH+1) ~ 2*NQ*mharm MXU
+    MACs per bin.  Both sides scale with NQ, so the crossover is
+    mharm ~ 16 independent of nbin; measured: 25.5 vs 43.7 ms/batch
+    at mharm=8 (direct wins 1.7x), est. ~wash at mharm=16.  At
+    precision HIGHEST the MXU rate halves (28 vs 51 TFLOP/s) and the
+    crossover drops below mharm=8, so direct only dispatches at
+    high/default.  PP_DIRECT_CAP=0/1 force-overrides (measurement)."""
+    import os
+
+    env = os.environ.get("PP_DIRECT_CAP")
+    if env is not None:
+        return bool(int(env)) and mharm is not None
+    if mharm is None:
+        return False
+    prec = (dft_precision or "high").lower()
+    return mharm < 16 and prec != "highest"
+
+
+@functools.lru_cache(maxsize=8)
+def _direct_consts_np(nbin: int, mharm: int):
+    """Host trig matrices for the capped DIRECT DFT-matmul setup, with
+    columns already in CT-permuted order (position p holds harmonic
+    kvec[p]) plus one extra cos column for the Nyquist sum (Parseval
+    sd).  Built in f64, cast f32."""
+    kv = ct_perm_np(nbin, mharm).astype(np.float64)
+    j = np.arange(nbin, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * j * kv[None, :] / nbin
+    Ec = np.concatenate([np.cos(ang), np.cos(np.pi * j)], axis=1)
+    return Ec.astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def direct_capped_setup(x, mr_p, mi_p, f0_fact=False,
+                        dft_precision="high", w=None, scale=None,
+                        mharm=None):
+    """Capped setup as ONE direct DFT-matmul on the MXU (XLA, no Pallas).
+
+    Same contract and outputs as ct_setup(..., mharm=mharm) — Gr/Gi/sd
+    (+ gsr/gsi when w is given) in CT-permuted order — but computed as
+    (B*nchan, nbin) @ (nbin, NH+1) matmuls over just the kept harmonics.
+    Rationale (VERDICT r3 next #1 / scripts/tpu_capped_setup_probe.py):
+    with the model-band harmonic cap the CT kernel's step-1 q-DFT is
+    NQ^2 VPU accumulations per channel regardless of the cap, making
+    the capped setup compute-bound; at mharm=8 the direct matmul is
+    pure MXU work and wins.  Being plain XLA it also partitions under
+    GSPMD (the mesh path needs no shard_map for it).
+
+    The hot loop is unchanged: outputs use the same CT-permuted layout
+    (trig columns are permuted at build time), so the Pallas moments
+    kernels and ct_kvec bookkeeping apply as-is.
+    """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, nchan, nbin = x.shape
+    assert mharm is not None, "direct_capped_setup requires the cap"
+    NQ, M0, NH = ct_geometry(nbin, mharm)
+    assert mr_p.shape[-1] == NH, \
+        f"model spectrum has {mr_p.shape[-1]} positions, layout wants {NH}"
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[
+        (dft_precision or "high").lower()]
+    Ecnp, Esnp = _direct_consts_np(nbin, mharm)
+    Ec = jnp.asarray(Ecnp)
+    Es = jnp.asarray(Esnp)
+    mr_p = mr_p.astype(jnp.float32)
+    mi_p = mi_p.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    Xr_full = jnp.matmul(xf, Ec, precision=prec,
+                         preferred_element_type=jnp.float32)
+    Xi = -jnp.matmul(xf, Es, precision=prec,
+                     preferred_element_type=jnp.float32)
+    sx2 = jnp.sum(xf * xf, axis=-1)
+    if scale is not None:
+        # int16-native ingest: per-channel dequantize applied AFTER the
+        # DFT (the transform is linear in the per-channel scale); the
+        # per-profile offsets only feed the DC harmonic, which F0_FACT
+        # zeroing discards (ct_setup's convention)
+        assert not f0_fact, \
+            "int16 ingest drops per-channel offsets into the DC " \
+            "harmonic; it requires F0_FACT zeroing"
+        scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32),
+                                 (B, nchan))
+        Xr_full = Xr_full * scale[..., None]
+        Xi = Xi * scale[..., None]
+        sx2 = sx2 * scale * scale
+    Xr, ny = Xr_full[..., :NH], Xr_full[..., NH]
+    x0 = Xr[..., 0]          # position 0 holds harmonic k = 0
+    # Parseval data power over ALL harmonics k=1..nbin/2 (plus DC when
+    # f0_fact keeps it) — exact regardless of the cap (ct_setup kernel)
+    sd = 0.5 * (jnp.float32(nbin) * sx2 - x0 * x0) + 0.5 * ny * ny
+    if f0_fact:
+        sd = sd + x0 * x0
+    Gr = Xr * mr_p + Xi * mi_p
+    Gi = Xi * mr_p - Xr * mi_p
+    if not f0_fact:
+        Gr = Gr.at[..., 0].set(0.0)
+        Gi = Gi.at[..., 0].set(0.0)
+    if w is not None:
+        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32), (B, nchan))
+        gsr = jnp.einsum("bc,bck->bk", w, Gr)
+        gsi = jnp.einsum("bc,bck->bk", w, Gi)
+        if squeeze:
+            return Gr[0], Gi[0], sd[0], gsr[0], gsi[0]
+        return Gr, Gi, sd, gsr, gsi
+    if squeeze:
+        return Gr[0], Gi[0], sd[0]
+    return Gr, Gi, sd
+
+
 @functools.lru_cache(maxsize=8)
 def _ct_consts_np(nbin: int):
     """Step-1 scalar weights, step-2 matrices, twiddles, and the

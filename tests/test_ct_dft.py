@@ -292,3 +292,143 @@ def test_capped_full_fit_matches_uncapped(nbin=512):
                        rtol=1e-4)
     assert np.allclose(np.asarray(r_cap.snr), np.asarray(r_full.snr),
                        rtol=1e-3)
+
+
+@pytest.mark.parametrize("f0_fact,with_scale", [(False, False),
+                                                (True, False),
+                                                (False, True)])
+def test_direct_capped_setup_matches_ct_setup(f0_fact, with_scale,
+                                              nbin=512):
+    """direct_capped_setup (one XLA DFT-matmul over the kept band,
+    VERDICT r3 next #1) reproduces ct_setup's capped outputs — same
+    CT-permuted layout, Parseval sd, fused seed — to matmul rounding,
+    for every ingest variant the fitter dispatches."""
+    from pulseportraiture_tpu.ops.ct_dft import (band_cap_model_ft,
+                                                 direct_capped_setup)
+
+    rng = np.random.default_rng(17)
+    B, nchan = 3, 24
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.05) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None and mh % 8 == 0
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin,
+                                mharm=mh)
+    w = rng.uniform(0.5, 1.5, (B, nchan)).astype(np.float32)
+    scale = None
+    if with_scale:
+        x = rng.integers(-3000, 3000, (B, nchan, nbin), dtype=np.int16)
+        scale = rng.uniform(1e-4, 5e-4, (B, nchan)).astype(np.float32)
+    else:
+        x = (model64[None] +
+             rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    kw = dict(f0_fact=f0_fact, w=jnp.asarray(w),
+              scale=None if scale is None else jnp.asarray(scale))
+    ref = ct_setup(jnp.asarray(x), mrp, mip, mharm=mh, interpret=True,
+                   dft_precision="highest", **kw)
+    out = direct_capped_setup(jnp.asarray(x), mrp, mip, mharm=mh,
+                              dft_precision="highest", **kw)
+    names = ("Gr", "Gi", "sd", "gsr", "gsi")
+    for name, a, b in zip(names, ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        s = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / s < 2e-5, name
+    # 2-D (unbatched) squeeze contract matches too
+    ref1 = ct_setup(jnp.asarray(x[0]), mrp, mip, mharm=mh,
+                    interpret=True, dft_precision="highest",
+                    f0_fact=f0_fact, w=jnp.asarray(w[0]),
+                    scale=None if scale is None else
+                    jnp.asarray(scale[0]))
+    out1 = direct_capped_setup(jnp.asarray(x[0]), mrp, mip, mharm=mh,
+                               dft_precision="highest",
+                               f0_fact=f0_fact, w=jnp.asarray(w[0]),
+                               scale=None if scale is None else
+                               jnp.asarray(scale[0]))
+    for name, a, b in zip(names, ref1, out1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        s = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / s < 2e-5, name
+
+
+def test_direct_cap_dispatch_heuristic():
+    """direct_cap_wins: cap present + tight + non-HIGHEST precision,
+    with PP_DIRECT_CAP as a measurement override."""
+    import os
+
+    from pulseportraiture_tpu.ops.ct_dft import direct_cap_wins
+
+    assert direct_cap_wins(8, "high")
+    assert direct_cap_wins(8, "default")
+    assert not direct_cap_wins(8, "highest")
+    assert not direct_cap_wins(16, "high")
+    assert not direct_cap_wins(None, "high")
+    os.environ["PP_DIRECT_CAP"] = "1"
+    try:
+        assert direct_cap_wins(32, "highest")
+        assert not direct_cap_wins(None, "high")
+    finally:
+        os.environ["PP_DIRECT_CAP"] = "0"
+    try:
+        assert not direct_cap_wins(8, "high")
+    finally:
+        os.environ.pop("PP_DIRECT_CAP", None)
+
+
+def test_capped_fit_direct_path_matches_uncapped(nbin=512):
+    """The full batched fit through the DIRECT capped setup
+    (dft_precision='high' dispatches it when mharm < 16,
+    fitters/portrait.py) recovers the same (phi, DM) as the uncapped
+    CT path."""
+    from pulseportraiture_tpu.fitters.portrait import \
+        fit_portrait_full_batch
+    from pulseportraiture_tpu.ops.ct_dft import (band_cap_model_ft,
+                                                 direct_cap_wins)
+
+    rng = np.random.default_rng(23)
+    B, nchan = 2, 24
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.05) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    model = model64.astype(np.float32)
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    if not direct_cap_wins(mh, "high"):
+        pytest.skip(f"template band too wide for the direct cap "
+                    f"(mharm={mh})")
+    P = 0.003
+    from pulseportraiture_tpu.config import DCONST
+    k = 2j * np.pi * np.arange(nbin // 2 + 1)
+    phis0 = rng.uniform(-0.01, 0.01, B)
+    dms0 = rng.uniform(-2e-4, 2e-4, B)
+    nu_fit = freqs.mean()
+    data = np.empty((B, nchan, nbin), np.float32)
+    for i in range(B):
+        sh = phis0[i] + DCONST * dms0[i] / P * (freqs ** -2 -
+                                                nu_fit ** -2)
+        data[i] = np.fft.irfft(mf64 * np.exp(-k * sh[:, None]),
+                               n=nbin, axis=-1)
+    data += rng.normal(0, 0.05, data.shape).astype(np.float32)
+    data = jnp.asarray(data)
+    args = (data, jnp.asarray(model), jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, P, jnp.float32), jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.05, jnp.float32))
+    kw = dict(nu_fits=jnp.full((B, 3), nu_fit, jnp.float32),
+              fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=20,
+              scattering=False, seed_phase=True, ct=True,
+              pallas=False, fft_matmul=True, dft_precision="high",
+              model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)))
+    r_full = fit_portrait_full_batch(*args, **kw)
+    r_cap = fit_portrait_full_batch(*args, mharm=mh, **kw)
+    pf = np.asarray(r_full.params)
+    pc = np.asarray(r_cap.params)
+    assert np.abs(pc[:, 0] - pf[:, 0]).max() < 2e-6          # phi
+    assert np.abs(pc[:, 1] - pf[:, 1]).max() < 2e-6          # DM
+    assert np.allclose(np.asarray(r_cap.chi2), np.asarray(r_full.chi2),
+                       rtol=1e-4)
