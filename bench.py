@@ -125,49 +125,67 @@ def main():
             model_ft_arg = (jax.device_put(jnp.asarray(mr_c)),
                             jax.device_put(jnp.asarray(mi_c)))
 
-    def run():
+    def make_run(mft, mh):
         # seed_phase=True performs the production seeding in-program
         # (pipelines/toas.py:392-415): a brute band-summed phase guess,
         # fused into the CT setup kernel on TPU — zero extra passes
         # over the spectra, one dispatch per batch
-        return fit_portrait_full_batch(data, model_j, init, Ps, freqs_j,
-                                       errs, nu_fits=nu_fits,
-                                       fit_flags=(1, 1, 0, 0, 0),
-                                       log10_tau=False, max_iter=30,
-                                       fft_matmul=True, scattering=False,
-                                       dft_precision="high",
-                                       seed_phase=True, scales=scales,
-                                       model_ft_ri=model_ft_arg,
-                                       mharm=mharm)
+        def run():
+            return fit_portrait_full_batch(data, model_j, init, Ps,
+                                           freqs_j, errs, nu_fits=nu_fits,
+                                           fit_flags=(1, 1, 0, 0, 0),
+                                           log10_tau=False, max_iter=30,
+                                           fft_matmul=True,
+                                           scattering=False,
+                                           dft_precision="high",
+                                           seed_phase=True, scales=scales,
+                                           model_ft_ri=mft, mharm=mh)
+        return run
 
-    res = run()  # compile + warmup
-    np.asarray(res.params)  # full fetch: block_until_ready alone can
-    # return before remote execution finishes on tunneled backends
-    params = np.asarray(res.params)
-    nu_out = np.asarray(res.nu_DM)
-    from pulseportraiture_tpu.ops.transform import phase_transform
-    phi_back = np.asarray(jax.vmap(
-        lambda p, d, n: phase_transform(p, d, n, jnp.float32(nu_fit),
-                                        jnp.float32(P), mod=True))(
-        jnp.asarray(params[:, 0]), jnp.asarray(params[:, 1]),
-        jnp.asarray(nu_out)))
-    max_dphi = np.abs(phi_back - phis).max()
-    # pipelined timing: queue REPS executions, sync once — the remote-
-    # tunnel dispatch latency (~30 ms/call) otherwise dominates
-    t0 = time.time()
-    rs = [run() for _ in range(max(REPS, 1))]
-    np.asarray(rs[-1].params)
-    dt = (time.time() - t0) / max(REPS, 1)
-    fits_per_sec = BATCH / dt
+    def measure(run):
+        """(fits/s, sec/batch, max|dphi|, mean niter) for one variant."""
+        res = run()  # compile + warmup
+        np.asarray(res.params)  # full fetch: block_until_ready alone
+        # can return before remote execution finishes on tunneled backends
+        params = np.asarray(res.params)
+        nu_out = np.asarray(res.nu_DM)
+        from pulseportraiture_tpu.ops.transform import phase_transform
+        phi_back = np.asarray(jax.vmap(
+            lambda p, d, n: phase_transform(p, d, n, jnp.float32(nu_fit),
+                                            jnp.float32(P), mod=True))(
+            jnp.asarray(params[:, 0]), jnp.asarray(params[:, 1]),
+            jnp.asarray(nu_out)))
+        max_dphi = np.abs(phi_back - phis).max()
+        # pipelined timing: queue REPS executions, sync once — the
+        # remote-tunnel dispatch latency (~30 ms/call) otherwise dominates
+        t0 = time.time()
+        rs = [run() for _ in range(max(REPS, 1))]
+        np.asarray(rs[-1].params)
+        dt = (time.time() - t0) / max(REPS, 1)
+        return (BATCH / dt, dt, float(max_dphi),
+                float(np.asarray(res.niter).mean()))
+
+    # the official number is the production (capped) configuration, but
+    # every run also records the full-band (uncapped) number so the
+    # official record can't drift template-flattering: a wide or
+    # data-derived template gets the uncapped rate (VERDICT r3 weak #2)
+    fits_per_sec, dt, max_dphi, mniter = measure(
+        make_run(model_ft_arg, mharm))
+    if mharm is not None:
+        fps_uncapped, _, dphi_unc, _ = measure(make_run(None, None))
+    else:
+        fps_uncapped, dphi_unc = fits_per_sec, max_dphi
     print(json.dumps({
         "metric": "portrait fits (phase+DM)/sec/chip at "
                   f"{NCHAN}ch x {NBIN}bin",
         "value": round(fits_per_sec, 2),
         "unit": "fits/sec/chip",
         "vs_baseline": round(fits_per_sec / 1e4, 4),
+        "value_uncapped": round(fps_uncapped, 2),
         "extra": {"batch": BATCH, "sec_per_batch": round(dt, 4),
-                  "max_abs_dphi_vs_injected": float(max_dphi),
-                  "mean_niter": float(np.asarray(res.niter).mean()),
+                  "max_abs_dphi_vs_injected": max_dphi,
+                  "max_abs_dphi_uncapped": dphi_unc,
+                  "mean_niter": mniter,
                   "ingest": "int16" if I2 else "float32",
                   "mharm": mharm,
                   "backend": jax.default_backend()},
