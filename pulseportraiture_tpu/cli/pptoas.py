@@ -27,6 +27,16 @@ def build_parser():
     p.add_argument("--narrowband", action="store_true",
                    help="measure per-channel narrowband TOAs instead "
                         "of wideband TOAs")
+    p.add_argument("--psrchive", action="store_true",
+                   help="measure narrowband TOAs in the style of "
+                        "PSRCHIVE's pat/ArrivalTime (reference "
+                        "pptoas.py:1446, 1594-1601); pat-style tempo2 "
+                        "lines go to --outfile/stdout")
+    p.add_argument("--algorithm", default="PGS",
+                   choices=("PGS", "FDM", "SIS", "PIS", "GIS", "COF"),
+                   help="ArrivalTime shift estimator for --psrchive "
+                        "(default PGS, matching the reference's "
+                        "hardcoded choice)")
     p.add_argument("--nu_ref", type=float, default=None,
                    help="output reference frequency [MHz] "
                         "(default: zero-covariance frequency)")
@@ -102,6 +112,24 @@ def main(argv=None):
                    args.nu_tau if args.nu_tau is not None else base)
 
     gt = GetTOAs(args.datafiles, args.modelfile, quiet=args.quiet)
+    if args.psrchive:
+        # pat-style dispatch: the reference hands off to PSRCHIVE's
+        # ArrivalTime with algorithm='PGS' and tempo2 format
+        # (pptoas.py:1594-1601); the native estimator family also
+        # exposes FDM/SIS/PIS/GIS/COF via --algorithm.  Output is the
+        # pat-style tempo2 lines (the wideband .tim machinery below
+        # does not apply).
+        gt.get_psrchive_TOAs(tscrunch=args.tscrunch,
+                             algorithm=args.algorithm)
+        out = open(args.outfile, "a") if args.outfile else sys.stdout
+        try:
+            for lines in gt.psrchive_toas:
+                for line in lines:
+                    print(line, file=out)
+        finally:
+            if args.outfile:
+                out.close()
+        return 0
     if args.narrowband:
         gt.get_narrowband_TOAs(tscrunch=args.tscrunch,
                                fit_scat=args.fit_scat,
