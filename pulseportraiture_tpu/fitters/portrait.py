@@ -603,7 +603,8 @@ def unpack_result(arr, nchan):
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
-                                    "ct", "pallas", "seed_phase"))
+                                    "ct", "pallas", "seed_phase",
+                                    "mharm"))
 def fit_portrait_full_batch_packed(*args, **kwargs):
     """fit_portrait_full_batch with the result packed into one (B, K)
     f32 array (see pack_result) — a single device->host transfer per

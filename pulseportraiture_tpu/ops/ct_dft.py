@@ -121,7 +121,7 @@ def suggest_mharm(mr, mi, nbin):
     return mh
 
 
-def band_cap_model_ft(mr, mi, nbin, rel_floor=1e-6):
+def band_cap_model_ft(mr, mi, nbin, rel_floor=1e-6, f0_fact=None):
     """Clean + cap a HOST natural-order split-real model spectrum for
     the model-band harmonic cap: returns (mr2, mi2, mharm).
 
@@ -135,9 +135,21 @@ def band_cap_model_ft(mr, mi, nbin, rel_floor=1e-6):
     fitted (phi, DM) by less than the existing f32 rounding budget —
     a numerical cleanup, not a modeling change.  The threshold is
     explicit because no floating-point rFFT produces genuine zeros
-    (f64 FFT rounding floors at ~1e-15 relative)."""
+    (f64 FFT rounding floors at ~1e-15 relative).
+
+    f0_fact (default config.F0_FACT): when falsy, the DC harmonic is
+    zeroed to match stats.model_ft's convention (reference
+    pptoaslib.py F0_fact; the fit's M2/S0/chi2 are DC-less) — callers
+    feed raw np.fft.rfft output, which otherwise carries the model's
+    large mean-flux DC term into S0 and inflates chi2/scales."""
+    if f0_fact is None:
+        from pulseportraiture_tpu.config import F0_FACT
+        f0_fact = F0_FACT
     mr = np.asarray(mr, np.float32).copy()
     mi = np.asarray(mi, np.float32).copy()
+    if not f0_fact:
+        mr[..., 0] = 0.0
+        mi[..., 0] = 0.0
     a = np.abs(mr) + np.abs(mi)
     if a.ndim > 1:
         a = a.max(axis=tuple(range(a.ndim - 1)))

@@ -1,4 +1,5 @@
 """Device-mesh sharding for batched wideband fits."""
 
-from pulseportraiture_tpu.parallel.mesh import (make_mesh,
-                                                fit_portrait_full_sharded)
+from pulseportraiture_tpu.parallel.mesh import (
+    make_mesh, fit_portrait_full_sharded, fit_portrait_full_sharded_ct,
+    fit_portrait_full_sharded_direct)

@@ -294,6 +294,51 @@ def test_capped_full_fit_matches_uncapped(nbin=512):
                        rtol=1e-3)
 
 
+def test_band_cap_model_ft_zeroes_dc_like_model_ft(nbin=512):
+    """band_cap_model_ft applies the F0_FACT DC-zeroing convention
+    (stats.model_ft) — callers feed raw np.fft.rfft output, and a
+    retained model-DC term silently inflates S0/chi2/scales on every
+    capped path (regression: the round-3 capped pipeline carried the
+    model's mean-flux DC into M2; chi2 came out ~19x high and the
+    per-channel reweighting could shift phi on dispersed data)."""
+    from pulseportraiture_tpu.fitters.portrait import \
+        fit_portrait_full_batch
+    from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+
+    rng = np.random.default_rng(7)
+    B, nchan = 2, 16
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = 4.0 * np.exp(-0.5 * ((xg - 0.3) / 0.03) ** 2) + 0.7
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.0
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    # the convention itself: DC is zeroed (config F0_FACT == 0)
+    assert np.all(mr[..., 0] == 0.0) and np.all(mi[..., 0] == 0.0)
+    assert mh is not None
+    data = (model64[None] +
+            rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    args = (jnp.asarray(data), jnp.asarray(model64, jnp.float32),
+            jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, 0.003, jnp.float32),
+            jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.1, jnp.float32))
+    kw = dict(fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=20,
+              scattering=False, seed_phase=True, fft_matmul=True)
+    # truly independent baseline: the fit computes its own model FT
+    # through stats.model_ft (DC zeroed there)
+    r_ref = fit_portrait_full_batch(*args, **kw)
+    r_cap = fit_portrait_full_batch(
+        *args, model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)),
+        mharm=mh, **kw)
+    assert np.allclose(np.asarray(r_cap.chi2), np.asarray(r_ref.chi2),
+                       rtol=1e-4)
+    assert np.allclose(np.asarray(r_cap.scales),
+                       np.asarray(r_ref.scales), rtol=1e-4)
+    assert np.abs(np.asarray(r_cap.params)[:, :2] -
+                  np.asarray(r_ref.params)[:, :2]).max() < 1e-6
+
+
 @pytest.mark.parametrize("f0_fact,with_scale", [(False, False),
                                                 (True, False),
                                                 (False, True)])
