@@ -106,12 +106,19 @@ class _State(NamedTuple):
 def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
                           gtol: float = 1e-10, xtol: float = 1e-12,
                           ftol: float = 0.0, init_radius: float = 1.0,
-                          max_radius: float = 1e3, has_aux: bool = False):
+                          max_radius: float = 1e3, has_aux: bool = False,
+                          step_mask=None):
     """Minimize f via exact trust-region Newton.
 
     fgh(x) -> (f, g, H) with analytic gradient/Hessian.  Non-fitted
     parameters must already be masked inside fgh (zero gradient row,
     identity Hessian row/col) so steps leave them unchanged.
+    step_mask: optional (n,) 0/1 vector enforcing that invariant through
+    the subproblem solve itself — _tr_solve normalizes H by max|H|, so a
+    masked coordinate's identity diagonal becomes a near-zero eigenvalue
+    that f32 eigh can cluster (and mix) with genuinely small curvature
+    directions; the explicit projection pins the masked coordinates
+    regardless of eigenvector rounding.
     has_aux: fgh returns (f, g, H, aux); the aux pytree of the accepted
     point is carried through the loop and returned (e.g. the harmonic
     moment reductions, so callers can re-derive per-channel Hessians /
@@ -138,8 +145,12 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
     def cond(st):
         return (~st.done) & (st.it < max_iter)
 
+    mask = None if step_mask is None else jnp.asarray(step_mask, dtype)
+
     def body(st):
         p, hit = _tr_solve(st.g, st.H, st.radius)
+        if mask is not None:
+            p = p * mask
         x_new = st.x + p
         if has_aux:
             f_new, g_new, H_new, aux_new = fgh(x_new)

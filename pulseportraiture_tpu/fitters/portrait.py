@@ -104,7 +104,8 @@ def _optimize(init_params, setup, fit_flags, log10_tau, max_iter=100,
                                           return_moments=True)
 
     return newton.trust_region_minimize(fgh, init_params, max_iter=max_iter,
-                                        gtol=gtol, xtol=xtol, has_aux=True)
+                                        gtol=gtol, xtol=xtol, has_aux=True,
+                                        step_mask=fit_flags)
 
 
 def _rereference(params, setup, nu_out_DM, nu_out_GM, nu_out_tau,
@@ -626,7 +627,8 @@ def _make_fit_one(fit_flags, log10_tau, max_iter, scattering, pallas):
                                                  scattering=scattering,
                                                  return_moments=True,
                                                  use_pallas=pallas),
-            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14, has_aux=True)
+            x0, max_iter=max_iter, gtol=1e-11, xtol=1e-14, has_aux=True,
+            step_mask=fit_flags)
         nzs = _nu_zeros_closed_form(res.x, setup, fit_flags, log10_tau,
                                     scattering=scattering, moments=res.aux)
         nu_out_DM, nu_out_GM, nu_out_tau = nzs
