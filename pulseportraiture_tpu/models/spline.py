@@ -40,7 +40,20 @@ def pca(port, mean_prof=None, weights=None, quiet=True):
     X = delta - wmean
     V1 = weights.sum()
     V2 = (weights ** 2).sum()
-    cov = (X.T * weights) @ X / (V1 - V2 / V1)
+    if X.size >= (1 << 22):
+        # campaign-scale portraits (4096ch x 2048bin: a ~17 GFLOP
+        # covariance): form the Gram matrix on device at HIGHEST matmul
+        # precision — the default bf16 passes would distort the
+        # covariance that the eigendecomposition diagonalizes.  The
+        # eigh itself stays on the host (a 2048^2 symmetric solve is
+        # seconds of LAPACK, and the remote-TPU backend's eigh pays a
+        # minutes-long remote compile and has shown tunnel failures).
+        Xd = jnp.asarray(X)
+        cov = np.asarray(jax.numpy.matmul(
+            Xd.T * jnp.asarray(weights, Xd.dtype), Xd,
+            precision="highest")) / (V1 - V2 / V1)
+    else:
+        cov = (X.T * weights) @ X / (V1 - V2 / V1)
     eigval, eigvec = np.linalg.eigh(cov)
     isort = np.argsort(eigval)[::-1]
     return eigval[isort], eigvec[:, isort]
@@ -69,11 +82,17 @@ def find_significant_eigvec(eigvec, check_max=10, return_max=10,
     eigvec = np.asarray(eigvec)
     smooth_eigvec = np.zeros(eigvec.shape)
     ieig = []
-    for ivec in range(max(check_max, return_max)):
+    # one batched smart_smooth over the candidate eigenvectors (each is
+    # a (nbin,) profile): the per-vector loop cost 10x the dispatches
+    # and device round trips for identical results
+    nvec = max(check_max, return_max)
+    evs_all = np.asarray(smart_smooth(eigvec.T[:nvec], **kwargs))
+    noises_all = np.asarray(get_noise_PS(eigvec.T[:nvec], chans=True)) * \
+        np.sqrt(eigvec.shape[0] / 2.0)
+    for ivec in range(nvec):
         add = False
-        ev = np.asarray(smart_smooth(eigvec.T[ivec], **kwargs))
-        ev_noise = float(get_noise_PS(jnp.asarray(eigvec.T[ivec]))) * \
-            np.sqrt(len(ev) / 2.0)
+        ev = evs_all[ivec]
+        ev_noise = float(noises_all[ivec])
         ev_snr = np.sum(np.abs(np.fft.rfft(ev)[1:]) ** 2) / ev_noise \
             if ev_noise > 0 else 0.0
         if ev_snr >= snr_cutoff:

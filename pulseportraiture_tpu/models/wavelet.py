@@ -244,17 +244,19 @@ def smart_smooth(port, try_nlevels=None, rchi2_tol=0.1, wavelet="db8",
     for lo in range(0, nchan, chan_chunk):
         chans = port2[lo:lo + chan_chunk]
         profs = jnp.asarray(chans)
-        best_snr = np.full(chans.shape[0], -np.inf)
-        best_sm = np.zeros_like(chans)
+        # the running cross-level best stays ON DEVICE: one (C, nbin)
+        # fetch per chunk instead of two per nlevel (each transfer on
+        # the tunneled TPU pays ~30 ms + bandwidth; 11 levels at
+        # 4096x2048 would round-trip ~700 MB)
+        best_snr = jnp.full(chans.shape[0], -jnp.inf, profs.dtype)
+        best_sm = jnp.zeros_like(profs)
         for ilevel in range(try_nlevels):
             snr_l, sm_l = _best_smooth_for_level(
                 profs, ilevel + 1, wavelet, threshtype, nfact,
                 jnp.asarray(rchi2_tol, profs.dtype))
-            snr_l = np.asarray(snr_l)
-            sm_l = np.asarray(sm_l)
             better = snr_l > best_snr    # strict: first level wins ties
-            best_snr = np.where(better, snr_l, best_snr)
-            best_sm = np.where(better[:, None], sm_l, best_sm)
-        keep = best_snr > 0.0
-        out[lo:lo + chan_chunk] = np.where(keep[:, None], best_sm, 0.0)
+            best_snr = jnp.where(better, snr_l, best_snr)
+            best_sm = jnp.where(better[:, None], sm_l, best_sm)
+        out[lo:lo + chan_chunk] = np.asarray(
+            jnp.where((best_snr > 0.0)[:, None], best_sm, 0.0))
     return out[0] if one_prof else out

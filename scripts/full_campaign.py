@@ -201,7 +201,13 @@ for lo in range(0, len(files), SL):
     rec = {"dd": [float(x) for x in gt.DeltaDM_means],
            "err": [float(x) for x in gt.DeltaDM_errs],
            "ntoa": len(gt.TOA_list), "t_run": t_sl, "t_zap": t_z,
-           "nzap": int(nz)}
+           "nzap": int(nz),
+           # per-stage breakdown (pipelines/toas.py fit_timing): CPU-
+           # attributed costs; load overlaps the rest on the prefetch
+           # thread, so buckets need not sum to t_run — a slow slice is
+           # diagnosable as host-load vs upload vs device vs assembly
+           "timing": {k: round(v, 2) for k, v in
+                      getattr(gt, "fit_timing", {}).items()}}
     state["slices"][key] = rec
     with open(state_path, "w") as f:
         json.dump(state, f)
@@ -224,6 +230,15 @@ resid = dd - dDMs[:len(dd)]
 resid = resid - np.median(resid)        # template zero-point
 err = np.asarray(err_all)
 frac_5sig = float(np.mean(np.abs(resid) <= 5.0 * err + 1e-9))
+# chi_rms = rms(resid/err): ~1 when the fit errors describe the
+# scatter.  Reported overall AND on non-template epochs only — the
+# first ntmpl epochs' noise is inside the template, which correlates
+# their residuals (BASELINE.md template-noise analysis).
+chi = resid / np.where(err > 0, err, np.inf)
+chi_rms = float(np.sqrt(np.mean(chi ** 2)))
+chi_nt = chi[args.ntmpl:]
+chi_rms_nontmpl = float(np.sqrt(np.mean(chi_nt ** 2))) if len(chi_nt) \
+    else float("nan")
 print(json.dumps({
     "metric": f"full campaign TOAs/sec ({args.narchive} epochs x "
               f"{args.nchan}ch x {args.nbin}bin, "
@@ -236,5 +251,7 @@ print(json.dumps({
               "nzap_channels": int(nzap),
               "dDM_resid_rms": float(np.sqrt(np.mean(resid ** 2))),
               "dDM_resid_within_5sigma": frac_5sig,
+              "chi_rms": round(chi_rms, 3),
+              "chi_rms_nontemplate": round(chi_rms_nontmpl, 3),
               "backend": jax.default_backend()},
 }), flush=True)
