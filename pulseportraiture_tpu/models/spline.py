@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pulseportraiture_tpu.ops.noise import get_noise_PS
-from pulseportraiture_tpu.utils import count_crossings
+from pulseportraiture_tpu.utils import count_crossings, retry_transient
 
 
 def pca(port, mean_prof=None, weights=None, quiet=True):
@@ -48,10 +48,15 @@ def pca(port, mean_prof=None, weights=None, quiet=True):
         # eigh itself stays on the host (a 2048^2 symmetric solve is
         # seconds of LAPACK, and the remote-TPU backend's eigh pays a
         # minutes-long remote compile and has shown tunnel failures).
-        Xd = jnp.asarray(X)
-        cov = np.asarray(jax.numpy.matmul(
-            Xd.T * jnp.asarray(weights, Xd.dtype), Xd,
-            precision="highest")) / (V1 - V2 / V1)
+        try:
+            Xd = jnp.asarray(X)
+            cov = np.asarray(retry_transient(lambda: jax.numpy.matmul(
+                Xd.T * jnp.asarray(weights, Xd.dtype), Xd,
+                precision="highest"))) / (V1 - V2 / V1)
+        except Exception:
+            # persistent backend failure: the host BLAS path is always
+            # available (slower, never wrong)
+            cov = (X.T * weights) @ X / (V1 - V2 / V1)
     else:
         cov = (X.T * weights) @ X / (V1 - V2 / V1)
     eigval, eigvec = np.linalg.eigh(cov)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pulseportraiture_tpu.ops.noise import get_noise_PS
+from pulseportraiture_tpu.utils import retry_transient
 
 
 @functools.lru_cache(maxsize=None)
@@ -251,9 +252,12 @@ def smart_smooth(port, try_nlevels=None, rchi2_tol=0.1, wavelet="db8",
         best_snr = jnp.full(chans.shape[0], -jnp.inf, profs.dtype)
         best_sm = jnp.zeros_like(profs)
         for ilevel in range(try_nlevels):
-            snr_l, sm_l = _best_smooth_for_level(
-                profs, ilevel + 1, wavelet, threshtype, nfact,
-                jnp.asarray(rchi2_tol, profs.dtype))
+            # retry_transient: each level is a fresh (big, unrolled-SWT)
+            # program whose remote compile can drop on a tunnel hiccup
+            snr_l, sm_l = retry_transient(lambda il=ilevel: (
+                _best_smooth_for_level(
+                    profs, il + 1, wavelet, threshtype, nfact,
+                    jnp.asarray(rchi2_tol, profs.dtype))))
             better = snr_l > best_snr    # strict: first level wins ties
             best_snr = jnp.where(better, snr_l, best_snr)
             best_sm = jnp.where(better[:, None], sm_l, best_sm)

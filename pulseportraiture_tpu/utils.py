@@ -89,3 +89,27 @@ def get_WRMS(data, errs=1.0):
     w_mean = weighted_mean(data, errs)[0]
     w = errs[ok] ** -2.0
     return (((data[ok] - w_mean) ** 2.0 * w).sum() / w.sum()) ** 0.5
+
+
+def retry_transient(fn, retries=2, wait_s=10.0):
+    """Call fn(), retrying transient remote-backend failures.
+
+    The tunneled remote-TPU backend's compile RPC occasionally drops
+    mid-response (INTERNAL: ... remote_compile ... body closed),
+    killing hours-long pipelines on a network hiccup.  Those calls are
+    idempotent, so re-issuing is safe; genuine errors (UNIMPLEMENTED,
+    shape mismatches) re-raise immediately.
+    """
+    import time
+
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:
+            msg = str(e)
+            transient = "INTERNAL" in msg and (
+                "remote_compile" in msg or "read body" in msg or
+                "connection" in msg.lower() or "socket" in msg.lower())
+            if not transient or attempt == retries:
+                raise
+            time.sleep(wait_s * (attempt + 1))

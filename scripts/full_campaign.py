@@ -140,8 +140,15 @@ if args.spline:
     if not os.path.exists(spl):
         dp = DataPortrait(tmpl, quiet=True)
         dp.normalize_portrait("prof")
-        dp.make_spline_model(max_ncomp=10, smooth=True,
-                             snr_cutoff=150.0, quiet=True)
+        # the build's device work is small (a cov matmul + smoothing of
+        # <=10 eigenprofiles) but compiles several large unrolled-SWT
+        # programs; on the tunneled TPU those remote compiles are the
+        # dominant cost AND a tunnel-failure risk, so pin the stage to
+        # the coexisting CPU device (model_build_bench measures the
+        # on-chip path separately)
+        with jax.default_device(jax.devices("cpu")[0]):
+            dp.make_spline_model(max_ncomp=10, smooth=True,
+                                 snr_cutoff=150.0, quiet=True)
         dp.write_model(spl, quiet=True)
     t_spline = time.time() - t_s0
     print(f"ppspline model: {t_spline:.1f}s", flush=True)
