@@ -467,6 +467,7 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         from pulseportraiture_tpu.ops.ct_dft import (ct_kvec, ct_setup,
                                                      direct_cap_wins,
                                                      direct_capped_setup,
+                                                     pallas_direct_setup,
                                                      permute_spectrum)
         prec_str = dft_precision if isinstance(dft_precision, str) else \
             os.environ.get("PP_DFT_PRECISION", "highest")
@@ -485,11 +486,28 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         # harmonics: 43.7 -> 25.5 ms/batch on chip at 4096x2048 mharm=8
         # (scripts/tpu_capped_setup_probe.py, PERF.md)
         use_direct = direct_cap_wins(mharm, prec_str)
-        setup_fn = (functools.partial(direct_capped_setup, mharm=mharm,
-                                      dft_precision=prec_str)
-                    if use_direct else
-                    functools.partial(ct_setup, dft_precision=prec_str,
-                                      mharm=mharm, interpret=interp))
+        # fused Pallas variant of the direct setup: one HBM read of the
+        # data (the XLA dot can't fuse the Parseval sum(x^2) reduction,
+        # so it pays a second full pass) and a lane-exact 2*NH slab
+        # (the XLA 258-column matmul pads to 384).  Split-bf16 dots
+        # reproduce Precision.HIGH; PP_DIRECT_PALLAS=0/1 overrides the
+        # TPU-default-on gate (trace-time, like PP_PALLAS).
+        # pallas=False (mesh callers: parallel/mesh.py sharded_direct)
+        # hard-disables it — pallas_call does not partition under
+        # GSPMD, so the sharded capped route must keep the XLA matmul.
+        env_pd = os.environ.get("PP_DIRECT_PALLAS")
+        use_pallas_direct = use_direct and pallas is not False and (
+            not interp if env_pd is None else bool(int(env_pd)))
+        if use_pallas_direct:
+            setup_fn = functools.partial(
+                pallas_direct_setup, mharm=mharm, interpret=interp,
+                npass=int(os.environ.get("PP_DIRECT_NPASS", "3")))
+        elif use_direct:
+            setup_fn = functools.partial(direct_capped_setup, mharm=mharm,
+                                         dft_precision=prec_str)
+        else:
+            setup_fn = functools.partial(ct_setup, dft_precision=prec_str,
+                                         mharm=mharm, interpret=interp)
         if seed_phase:
             Grp, Gip, sd, gsr, gsi = setup_fn(data_ports, mrp, mip,
                                               f0_fact=bool(F0_FACT),

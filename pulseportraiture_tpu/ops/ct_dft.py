@@ -286,6 +286,241 @@ def direct_capped_setup(x, mr_p, mi_p, f0_fact=False,
 
 
 @functools.lru_cache(maxsize=8)
+def _direct_slab_np(nbin: int, mharm: int):
+    """bf16 hi/lo split of the CT-permuted direct-DFT trig slab for the
+    fused Pallas setup kernel (pallas_direct_setup).
+
+    Layout (nbin, 2*NH): columns [0, NH) hold cos(2 pi j kvec[p]/nbin);
+    columns [NH, 2*NH) hold sin(2 pi j kvec[p]/nbin) for p >= 1 while
+    the p = 0 slot — the DC harmonic's imaginary part, identically zero
+    for real input — is repurposed for the Nyquist cos column (-1)^j
+    (needed by the Parseval sd).  2*NH stays a lane multiple whenever
+    NH is, so the kernel's dot output pads nothing (the XLA direct
+    setup's 258-column matmul pads to 384 — 1.5x wasted MXU work).
+
+    The f64 slab is split E = Ehi + Elo with both parts bf16: three
+    bf16 MXU passes (xhi Ehi + xlo Ehi + xhi Elo) then reproduce
+    lax.Precision.HIGH's accuracy class at the native bf16 rate."""
+    kv = ct_perm_np(nbin, mharm).astype(np.float64)
+    j = np.arange(nbin, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * j * kv[None, :] / nbin
+    sin = np.sin(ang)
+    sin[:, 0] = np.cos(np.pi * j[:, 0])          # Nyquist in the dead slot
+    E = np.concatenate([np.cos(ang), sin], axis=1)
+    Ehi = E.astype(jnp.bfloat16)
+    Elo = (E - np.asarray(Ehi, np.float64)).astype(jnp.bfloat16)
+    return Ehi, Elo
+
+
+def _direct_kernel_factory(nbin, NH, f0_fact, npass, with_seed,
+                           with_scale):
+    """Fused direct-DFT setup kernel body: one HBM read of the data
+    tile, MXU dots against the VMEM-resident trig slab, and the same
+    fused epilogue as ct_setup (dequantize, Parseval sd, Gr/Gi,
+    band-summed seed accumulators)."""
+
+    def kernel(x_ref, ehi_ref, elo_ref, mr_ref, mi_ref, *rest):
+        if with_scale:
+            scl_ref, rest = rest[0], rest[1:]
+        if with_seed:
+            w_ref, gr_ref, gi_ref, sd_ref, gsr_ref, gsi_ref = rest
+        else:
+            gr_ref, gi_ref, sd_ref = rest
+        x = x_ref[0]                     # (CBLK, nbin) f32 or int16
+        xf = x.astype(jnp.float32)
+        # manual split-bf16 matmul: HIGH-precision accuracy at the
+        # native bf16 MXU rate (Mosaic dots only offer DEFAULT and
+        # HIGHEST; HIGHEST runs at ~28 vs 119 TFLOP/s)
+        xhi = xf.astype(jnp.bfloat16)
+        Ehi = ehi_ref[:]
+        o = jnp.dot(xhi, Ehi, preferred_element_type=jnp.float32)
+        if npass >= 2:
+            o = o + jnp.dot(xhi, elo_ref[:],
+                            preferred_element_type=jnp.float32)
+        if npass >= 3:
+            xlo = (xf - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            o = o + jnp.dot(xlo, Ehi,
+                            preferred_element_type=jnp.float32)
+        Xr = o[:, :NH]
+        t2 = o[:, NH:]
+        ny = t2[:, :1]                    # Nyquist (dead DC-imag slot)
+        # X_k = sum x e^{-2 pi i k j/nbin}: imag = -sin sums; DC slot 0
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, NH), 1)
+        Xi = jnp.where(col == 0, 0.0, -t2)
+        sx2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        if with_scale:
+            scl = scl_ref[0]              # (CBLK, 1)
+            Xr = Xr * scl
+            Xi = Xi * scl
+            ny = ny * scl
+            sx2 = sx2 * scl * scl
+        x0 = Xr[:, :1]
+        # Parseval data power over ALL harmonics k=1..nbin/2 (+ DC when
+        # f0_fact keeps it) — exact regardless of the cap (ct_setup)
+        sd = 0.5 * (jnp.float32(nbin) * sx2 - x0 * x0) + 0.5 * ny * ny
+        if f0_fact:
+            sd = sd + x0 * x0
+        mr = mr_ref[:]
+        mi = mi_ref[:]
+        grv = Xr * mr + Xi * mi
+        giv = Xi * mr - Xr * mi
+        if not f0_fact:
+            grv = jnp.where(col == 0, 0.0, grv)
+            giv = jnp.where(col == 0, 0.0, giv)
+        gr_ref[0] = grv
+        gi_ref[0] = giv
+        sd_ref[0] = sd
+        if with_seed:
+            from jax.experimental import pallas as pl
+            wblk = w_ref[0]               # (CBLK, 1)
+            ssr = jnp.sum(wblk * grv, axis=0, keepdims=True)
+            ssi = jnp.sum(wblk * giv, axis=0, keepdims=True)
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _init():
+                gsr_ref[0] = ssr
+                gsi_ref[0] = ssi
+
+            @pl.when(i > 0)
+            def _acc():
+                gsr_ref[0] = gsr_ref[0] + ssr
+                gsi_ref[0] = gsi_ref[0] + ssi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("f0_fact", "npass",
+                                             "interpret", "mharm"))
+def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
+                        mharm=None, npass=3, interpret=False):
+    """Capped setup as a FUSED Pallas kernel: in-kernel MXU dots against
+    a VMEM-resident bf16-split trig slab.
+
+    Same contract and outputs as direct_capped_setup / ct_setup(...,
+    mharm=) — CT-permuted Gr/Gi/sd (+ gsr/gsi seed sums with w) — but
+    the data tile is read from HBM exactly ONCE: the XLA direct setup
+    pays a second full pass for the Parseval sum(x^2) reduction (XLA
+    cannot fuse a reduction into a dot operand) plus 1.5x MXU padding
+    on its 258-column matmul; here sum(x^2), the dequantize, the Gr/Gi
+    construction and the seed accumulators all ride the same VMEM
+    residency, and the slab is exactly 2*NH = 256 lanes.
+
+    npass: split-bf16 passes — 3 reproduces lax.Precision.HIGH
+    (xhi Ehi + xlo Ehi + xhi Elo), 2 drops the data's lo half (the
+    trig slab stays split: error becomes a ~2^-9 relative white
+    perturbation of the DATA, invisible under any physical noise but
+    outside the noiseless parity floor), 1 is DEFAULT-equivalent.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, nchan, nbin = x.shape
+    assert mharm is not None, "pallas_direct_setup requires the cap"
+    NQ, M0, NH = ct_geometry(nbin, mharm)
+    assert mr_p.shape[-1] == NH, \
+        f"model spectrum has {mr_p.shape[-1]} positions, layout wants {NH}"
+    Ehi_np, Elo_np = _direct_slab_np(nbin, mharm)
+    mr_p = mr_p.astype(jnp.float32)
+    mi_p = mi_p.astype(jnp.float32)
+    with_scale = scale is not None
+    if with_scale:
+        assert not f0_fact, \
+            "int16 ingest drops per-channel offsets into the DC " \
+            "harmonic; it requires F0_FACT zeroing"
+        scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32),
+                                 (B, nchan))[..., None]
+    else:
+        x = x.astype(jnp.float32)
+    with_seed = w is not None
+    if with_seed:
+        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32),
+                             (B, nchan))[..., None]
+    cblk = 128 if nchan >= 128 else nchan + ((-nchan) % 8)
+    pad = (-nchan) % cblk
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+        mr_p = jnp.pad(mr_p, [(0, pad), (0, 0)])
+        mi_p = jnp.pad(mi_p, [(0, pad), (0, 0)])
+        if with_seed:
+            w = jnp.pad(w, [(0, 0), (0, pad), (0, 0)])
+        if with_scale:
+            scale = jnp.pad(scale, [(0, 0), (0, pad), (0, 0)])
+    ntot = nchan + pad
+    grid = (B, ntot // cblk)
+    kern = _direct_kernel_factory(nbin, NH, bool(f0_fact), int(npass),
+                                  with_seed, with_scale)
+    out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                  jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
+                  jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))
+    out_specs = (pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, cblk, NH), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                              memory_space=pltpu.VMEM))
+    if with_seed:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32))
+        out_specs = out_specs + (
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
+    in_specs = [
+        pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbin, 2 * NH), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nbin, 2 * NH), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cblk, NH), lambda b, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, jnp.asarray(Ehi_np), jnp.asarray(Elo_np), mr_p, mi_p]
+    if with_scale:
+        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(scale)
+    if with_seed:
+        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w)
+    flops = npass * 2 * B * ntot * nbin * 2 * NH
+    out = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize +
+            2 * B * ntot * NH * 4,
+            transcendentals=0),
+    )(*args)
+    Gr_p, Gi_p, sd = out[:3]
+    Gr_p = Gr_p[:, :nchan]
+    Gi_p = Gi_p[:, :nchan]
+    sd = sd[:, :nchan, 0]
+    if with_seed:
+        gsr, gsi = out[3][:, 0], out[4][:, 0]
+        if squeeze:
+            return Gr_p[0], Gi_p[0], sd[0], gsr[0], gsi[0]
+        return Gr_p, Gi_p, sd, gsr, gsi
+    if squeeze:
+        return Gr_p[0], Gi_p[0], sd[0]
+    return Gr_p, Gi_p, sd
+
+
+@functools.lru_cache(maxsize=8)
 def _ct_consts_np(nbin: int):
     """Step-1 scalar weights, step-2 matrices, twiddles, and the
     alternating Nyquist row (host)."""

@@ -400,6 +400,163 @@ def test_direct_capped_setup_matches_ct_setup(f0_fact, with_scale,
         assert np.abs(a - b).max() / s < 2e-5, name
 
 
+@pytest.mark.parametrize("f0_fact,with_scale", [(False, False),
+                                                (True, False),
+                                                (False, True)])
+def test_pallas_direct_setup_matches_direct(f0_fact, with_scale,
+                                            nbin=512):
+    """pallas_direct_setup (the FUSED direct setup: in-kernel split-bf16
+    MXU dots, one HBM pass, Nyquist folded into the dead DC-imag slab
+    slot) reproduces direct_capped_setup's outputs to the f32 matmul
+    rounding class for every ingest variant, batched and squeezed."""
+    from pulseportraiture_tpu.ops.ct_dft import (band_cap_model_ft,
+                                                 direct_capped_setup,
+                                                 pallas_direct_setup)
+
+    rng = np.random.default_rng(23)
+    B, nchan = 3, 24
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.05) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin,
+                                mharm=mh)
+    w = rng.uniform(0.5, 1.5, (B, nchan)).astype(np.float32)
+    scale = None
+    if with_scale:
+        x = rng.integers(-3000, 3000, (B, nchan, nbin), dtype=np.int16)
+        scale = rng.uniform(1e-4, 5e-4, (B, nchan)).astype(np.float32)
+    else:
+        x = (model64[None] +
+             rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    kw = dict(f0_fact=f0_fact, w=jnp.asarray(w),
+              scale=None if scale is None else jnp.asarray(scale))
+    ref = direct_capped_setup(jnp.asarray(x), mrp, mip, mharm=mh,
+                              dft_precision="highest", **kw)
+    out = pallas_direct_setup(jnp.asarray(x), mrp, mip, mharm=mh,
+                              npass=3, interpret=True, **kw)
+    names = ("Gr", "Gi", "sd", "gsr", "gsi")
+    # one absolute scale for the spectra: Gr/Gi/gsr/gsi share the data
+    # amplitude; per-output max would inflate near-zero components
+    gscale = max(np.abs(np.asarray(ref[0])).max(),
+                 np.abs(np.asarray(ref[1])).max())
+    for name, a, b in zip(names, ref, out):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, name
+        s = np.abs(a).max() + 1e-30 if name == "sd" else gscale
+        assert np.abs(a - b).max() / s < 3e-5, name
+    # squeezed 2-D contract
+    out1 = pallas_direct_setup(jnp.asarray(x[0]), mrp, mip, mharm=mh,
+                               npass=3, interpret=True,
+                               f0_fact=f0_fact, w=jnp.asarray(w[0]),
+                               scale=None if scale is None else
+                               jnp.asarray(scale[0]))
+    for name, a, b in zip(names, ref, out1):
+        a = np.asarray(a)[0]
+        b = np.asarray(b)
+        assert a.shape == b.shape, name
+        s = np.abs(a).max() + 1e-30 if name == "sd" else gscale
+        assert np.abs(a - b).max() / s < 3e-5, name
+
+
+def test_pallas_direct_setup_npass_ladder(nbin=512):
+    """npass=3 sits in the f32 accuracy class (vs an f64 truth);
+    npass=2 (data-lo dropped) degrades by orders of magnitude but stays
+    bounded by the documented ~2^-9 relative data perturbation; npass=1
+    (single bf16) is the coarsest.  Guards the precision dispatch."""
+    from pulseportraiture_tpu.ops.ct_dft import (band_cap_model_ft,
+                                                 ct_perm_np,
+                                                 pallas_direct_setup)
+
+    rng = np.random.default_rng(5)
+    B, nchan = 2, 16
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.05) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin,
+                                mharm=mh)
+    x = (np.roll(model64[None], 37, axis=-1) +
+         rng.normal(0, 0.1, (B, nchan, nbin))).astype(np.float32)
+    kv = ct_perm_np(nbin, mh)
+    dft = np.fft.rfft(x.astype(np.float64), axis=-1)[..., kv]
+    mr64, mi64 = np.asarray(mrp, np.float64), np.asarray(mip, np.float64)
+    Gr64 = dft.real * mr64 + dft.imag * mi64
+    Gr64[..., 0] = 0.0
+    s = np.abs(Gr64).max()
+    errs = {}
+    for npass in (1, 2, 3):
+        out = pallas_direct_setup(jnp.asarray(x), mrp, mip, mharm=mh,
+                                  npass=npass, interpret=True)
+        errs[npass] = np.abs(np.asarray(out[0], np.float64) -
+                             Gr64).max() / s
+    assert errs[3] < 3e-6, errs
+    assert errs[3] < errs[2] < errs[1], errs
+    assert errs[2] < 2e-3, errs
+
+
+def test_fit_dispatches_pallas_direct_setup(monkeypatch, nbin=512):
+    """PP_DIRECT_PALLAS=1 routes the capped fit through the fused
+    Pallas setup (interpreted off-TPU); fitted parameters match the
+    XLA direct route to f32 rounding."""
+    from pulseportraiture_tpu.fitters.portrait import \
+        fit_portrait_full_batch
+    from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+
+    rng = np.random.default_rng(11)
+    B, nchan = 2, 16
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.35) / 0.04) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.2
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    data = (np.roll(model64[None], 5, axis=-1) +
+            rng.normal(0, 0.05, (B, nchan, nbin))).astype(np.float32)
+    args = (jnp.asarray(data), jnp.asarray(model64, jnp.float32),
+            jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, 0.003, jnp.float32),
+            jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.05, jnp.float32))
+    kw = dict(fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=20,
+              scattering=False, seed_phase=True, fft_matmul=True, ct=True,
+              model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)), mharm=mh,
+              dft_precision="high")
+    monkeypatch.setenv("PP_DIRECT_PALLAS", "0")
+    monkeypatch.setenv("PP_DIRECT_CAP", "1")
+    r_xla = fit_portrait_full_batch(*args, **kw)
+    monkeypatch.setenv("PP_DIRECT_PALLAS", "1")
+    # distinct trace: jit caches key on static args only, so clear
+    fit_portrait_full_batch.clear_cache()
+    r_pal = fit_portrait_full_batch(*args, **kw)
+    fit_portrait_full_batch.clear_cache()
+    assert np.abs(np.asarray(r_pal.params)[:, :2] -
+                  np.asarray(r_xla.params)[:, :2]).max() < 1e-5
+    assert np.allclose(np.asarray(r_pal.chi2), np.asarray(r_xla.chi2),
+                       rtol=1e-4)
+    # GSPMD safety gate: pallas=False (what parallel/mesh.py
+    # fit_portrait_full_sharded_direct passes — pallas_call does not
+    # partition under GSPMD) must beat even an explicit
+    # PP_DIRECT_PALLAS=1 and keep the XLA direct setup
+    from pulseportraiture_tpu.ops import ct_dft as _cd
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas_direct_setup dispatched with "
+                             "pallas=False (would break GSPMD)")
+
+    monkeypatch.setattr(_cd, "pallas_direct_setup", _boom)
+    r_mesh = fit_portrait_full_batch(*args, pallas=False, **kw)
+    fit_portrait_full_batch.clear_cache()
+    assert np.abs(np.asarray(r_mesh.params)[:, :2] -
+                  np.asarray(r_xla.params)[:, :2]).max() < 1e-5
+
+
 def test_direct_cap_dispatch_heuristic():
     """direct_cap_wins: cap present + tight + non-HIGHEST precision,
     with PP_DIRECT_CAP as a measurement override."""
