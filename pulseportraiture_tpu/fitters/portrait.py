@@ -495,13 +495,26 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         # pallas=False (mesh callers: parallel/mesh.py sharded_direct)
         # hard-disables it — pallas_call does not partition under
         # GSPMD, so the sharded capped route must keep the XLA matmul.
+        # prec_str == "highest" keeps the XLA direct setup: the Pallas
+        # kernel's split-bf16 ladder tops out at the HIGH accuracy
+        # class, and a PP_DIRECT_CAP=1 measurement override must not
+        # silently downgrade an explicit HIGHEST request (ADVICE r4)
         env_pd = os.environ.get("PP_DIRECT_PALLAS")
-        use_pallas_direct = use_direct and pallas is not False and (
-            not interp if env_pd is None else bool(int(env_pd)))
+        use_pallas_direct = (use_direct and pallas is not False
+                             and prec_str != "highest" and (
+            not interp if env_pd is None
+            else env_pd not in ("0", "false", "")))
         if use_pallas_direct:
+            # clamp to the defined ladder {1,2,3}; malformed env values
+            # fall back to the default rather than tracing an undefined
+            # pass count (ADVICE r4)
+            try:
+                npass = int(os.environ.get("PP_DIRECT_NPASS", "3"))
+            except ValueError:
+                npass = 3
             setup_fn = functools.partial(
                 pallas_direct_setup, mharm=mharm, interpret=interp,
-                npass=int(os.environ.get("PP_DIRECT_NPASS", "3")))
+                npass=min(max(npass, 1), 3))
         elif use_direct:
             setup_fn = functools.partial(direct_capped_setup, mharm=mharm,
                                          dft_precision=prec_str)

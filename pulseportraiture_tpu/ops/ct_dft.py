@@ -421,6 +421,12 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
     B, nchan, nbin = x.shape
     assert mharm is not None, "pallas_direct_setup requires the cap"
     NQ, M0, NH = ct_geometry(nbin, mharm)
+    # unlike direct_capped_setup this kernel blocks the model as 2-D;
+    # batched per-item model spectra are not supported here (the capped
+    # dispatch only ever feeds the shared 2-D model via model_ft_ri)
+    assert mr_p.ndim == 2, \
+        "pallas_direct_setup requires the shared 2-D model spectrum " \
+        f"(got ndim={mr_p.ndim}); use direct_capped_setup for batched"
     assert mr_p.shape[-1] == NH, \
         f"model spectrum has {mr_p.shape[-1]} positions, layout wants {NH}"
     Ehi_np, Elo_np = _direct_slab_np(nbin, mharm)

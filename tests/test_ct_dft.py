@@ -581,6 +581,69 @@ def test_direct_cap_dispatch_heuristic():
         os.environ.pop("PP_DIRECT_CAP", None)
 
 
+def test_pallas_direct_gate_respects_highest(monkeypatch, nbin=512):
+    """PP_DIRECT_CAP=1 + dft_precision='highest' must keep the XLA
+    direct setup (which supports Precision.HIGHEST), never the Pallas
+    split-bf16 kernel (HIGH accuracy class) — ADVICE r4.  Malformed
+    PP_DIRECT_NPASS must not raise at trace time and out-of-range
+    values clamp to the defined {1,2,3} ladder."""
+    from pulseportraiture_tpu.fitters.portrait import \
+        fit_portrait_full_batch
+    from pulseportraiture_tpu.ops import ct_dft as _cd
+    from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+
+    rng = np.random.default_rng(7)
+    B, nchan = 2, 8
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.35) / 0.04) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.2
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    data = (model64[None] + rng.normal(0, 0.05, (B, nchan, nbin))
+            ).astype(np.float32)
+    args = (jnp.asarray(data), jnp.asarray(model64, jnp.float32),
+            jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, 0.003, jnp.float32),
+            jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.05, jnp.float32))
+    kw = dict(fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=10,
+              scattering=False, seed_phase=True, fft_matmul=True, ct=True,
+              model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)), mharm=mh)
+
+    def _boom(*a, **k):
+        raise AssertionError("pallas_direct_setup dispatched at "
+                             "dft_precision='highest'")
+
+    monkeypatch.setenv("PP_DIRECT_CAP", "1")
+    monkeypatch.setenv("PP_DIRECT_PALLAS", "1")
+    monkeypatch.setattr(_cd, "pallas_direct_setup", _boom)
+    fit_portrait_full_batch.clear_cache()
+    r = fit_portrait_full_batch(*args, dft_precision="highest", **kw)
+    assert np.isfinite(np.asarray(r.params)).all()
+    fit_portrait_full_batch.clear_cache()
+
+    # malformed / out-of-range npass values: no trace-time ValueError,
+    # clamp into the ladder (npass=4 would previously trace the >=3
+    # branch silently; '' and 'true' would raise)
+    seen = []
+
+    def _spy(*a, npass=3, **k):
+        seen.append(npass)
+        from pulseportraiture_tpu.ops.ct_dft import direct_capped_setup
+        k.pop("interpret", None)
+        return direct_capped_setup(*a, **k)
+
+    monkeypatch.setattr(_cd, "pallas_direct_setup", _spy)
+    for env, want in (("true", 3), ("", 3), ("7", 3), ("0", 1), ("2", 2)):
+        monkeypatch.setenv("PP_DIRECT_NPASS", env)
+        fit_portrait_full_batch.clear_cache()
+        r = fit_portrait_full_batch(*args, dft_precision="high", **kw)
+        assert np.isfinite(np.asarray(r.params)).all()
+        assert seen[-1] == want, (env, seen[-1])
+    fit_portrait_full_batch.clear_cache()
+
+
 def test_capped_fit_direct_path_matches_uncapped(nbin=512):
     """The full batched fit through the DIRECT capped setup
     (dft_precision='high' dispatches it when mharm < 16,
