@@ -126,10 +126,14 @@ def main():
                             jax.device_put(jnp.asarray(mi_c)))
 
     def make_run(mft, mh):
-        # seed_phase=True performs the production seeding in-program
-        # (pipelines/toas.py:392-415): a brute band-summed phase guess,
-        # fused into the CT setup kernel on TPU — zero extra passes
-        # over the spectra, one dispatch per batch
+        # seed_phase/seed_dm=True performs the production seeding
+        # in-program (pipelines/toas.py): a brute band-summed phase
+        # guess plus the half-band-difference DM guess, both fused
+        # into the setup kernel on TPU — zero extra passes over the
+        # spectra, one dispatch per batch (PP_SEED_DM=0 opts out,
+        # matching the pipeline's gate)
+        seed_dm = os.environ.get("PP_SEED_DM", "1") not in ("0", "false")
+
         def run():
             return fit_portrait_full_batch(data, model_j, init, Ps,
                                            freqs_j, errs, nu_fits=nu_fits,
@@ -138,7 +142,8 @@ def main():
                                            fft_matmul=True,
                                            scattering=False,
                                            dft_precision="high",
-                                           seed_phase=True, scales=scales,
+                                           seed_phase=True,
+                                           seed_dm=seed_dm, scales=scales,
                                            model_ft_ri=mft, mharm=mh)
         return run
 

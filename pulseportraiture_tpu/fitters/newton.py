@@ -131,21 +131,51 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         f0, g0, H0 = fgh(x0)
         aux0 = None
     dtype = f0.dtype
-    st = _State(x=x0, f=f0, g=g0, H=H0,
-                radius=jnp.asarray(init_radius, dtype),
-                it=jnp.asarray(0), nfev=jnp.asarray(1),
-                status=jnp.asarray(3), done=jnp.asarray(False),
-                aux=aux0)
 
     g0norm = jnp.sqrt(jnp.sum(g0 ** 2))
     # dtype-aware relative gradient stop (f32 objectives cannot reach the
     # absolute f64-calibrated gtol)
     gtol_rel = 100.0 * jnp.finfo(dtype).eps
 
+    mask = None if step_mask is None else jnp.asarray(step_mask, dtype)
+
+    def _lookahead(f, g, H, radius):
+        """Speculative-final-step LOOKAHEAD.
+
+        Solves the next trust-region subproblem from (g, H) already in
+        hand and checks whether its predicted decrease sits below the
+        floating-point resolution of f — the same condition the
+        tiny_pred acceptance would discover one fgh evaluation later.
+        When it does, the caller TAKES the step p without evaluating
+        fgh at it: x+p is bit-identical to the point the next
+        iteration would have accepted (same g, H, radius -> same
+        subproblem solution), so fitted parameters match the
+        non-lookahead optimizer; only f/g/H/aux stay one sub-floor
+        step stale (bounded by pred <= 8 eps |f| — below what f32 can
+        resolve in f, and far below the parameter covariance).  For
+        the batched fit the vmapped while_loop runs max-over-batch
+        iterations and the final iteration is almost always exactly
+        this sub-floor step (PERF.md round 5): skipping its evaluation
+        saves one full pass over the spectra per batch.  The (<=5x5)
+        subproblem re-solve costs microseconds."""
+        p, _ = _tr_solve(g, H, radius)
+        if mask is not None:
+            p = p * mask
+        pred = -(g @ p + 0.5 * p @ H @ p)
+        below = (pred >= 0.0) & \
+            (pred <= 8.0 * jnp.finfo(dtype).eps * jnp.abs(f))
+        return below, p
+
+    radius0 = jnp.asarray(init_radius, dtype)
+    done0, p0 = _lookahead(f0, g0, H0, radius0)
+    st = _State(x=jnp.where(done0, x0 + p0, x0), f=f0, g=g0, H=H0,
+                radius=radius0,
+                it=jnp.asarray(0), nfev=jnp.asarray(1),
+                status=jnp.where(done0, 1, 3), done=done0,
+                aux=aux0)
+
     def cond(st):
         return (~st.done) & (st.it < max_iter)
-
-    mask = None if step_mask is None else jnp.asarray(step_mask, dtype)
 
     def body(st):
         p, hit = _tr_solve(st.g, st.H, st.radius)
@@ -187,8 +217,18 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         gnorm = jnp.sqrt(jnp.sum(g ** 2))
         gconv = (gnorm < gtol) | (gnorm < gtol_rel * g0norm)
         xconv = accept & (pnorm < xtol)
+        # speculative final step on the ACCEPTED point: when the next
+        # subproblem's predicted decrease is below the f32 resolution
+        # of f, take that step NOW (bit-identical to what the next
+        # iteration would accept) and stop without paying its fgh
+        # evaluation (non-accepted iterations keep stale g/H and must
+        # re-iterate)
+        below2, p2 = _lookahead(f, g, H, radius)
+        spec = accept & below2
+        x = jnp.where(spec, x + p2, x)
         fconv = (accept & (ftol > 0.0) & (actual < ftol * jnp.maximum(
-            jnp.abs(st.f), 1.0))) | (accept & tiny_pred & (pred > 0.0))
+            jnp.abs(st.f), 1.0))) | (accept & tiny_pred & (pred > 0.0)) | \
+            spec
         stalled = (~accept) & (radius < xtol)
         done = gconv | xconv | fconv | stalled
         status = jnp.where(gconv, 0,

@@ -356,19 +356,70 @@ def _brute_phase_seed(gsr, gsi, kvec, Ns=512):
     return grid[j] + jnp.clip(delta, -0.5, 0.5) / Ns
 
 
+def _seed_phi_dm(gsr, gsi, kvec, wcurv, beta, kdm, Ns=512,
+                 max_dphi=0.1):
+    """Joint brute (phi, DM) seed from stacked band-summed cross-spectra.
+
+    gsr/gsi: (B, 2, NH) — seed accumulators for the weight stack
+    [full band, upper half-band] (ops.ct_dft stacked-w seed outputs).
+    The lower-half spectrum is their difference, so three brute phase
+    profiles cost ONE (3B, NH) @ (NH, Ns) matmul.  Each half-band
+    argmax estimates the fit shift at that half's curvature-weighted
+    effective dispersion delay beta_eff (wcurv ~ w_c * sum_k k^2
+    |m_ck|^2 — the curvature of the per-channel correlation peak, so
+    the band-summed argmax sits at the wcurv-weighted mean of the
+    per-channel shifts); the wrapped difference over
+    kdm*(beta_hi - beta_lo) is the DM seed, and the full-band phase is
+    rebased to the fit's phase parameter at beta = 0.
+
+    Robustness: multi-peaked templates can alias a HALF-band argmax to
+    a secondary correlation lobe under noise, which would catapult the
+    DM seed; any |phi_hi - phi_lo| > max_dphi (default 0.1 turns —
+    far beyond any dedispersed residual-DM differential) falls back to
+    (phi_full, 0), i.e. the plain phase seed.  The seed only moves the
+    Newton start, never the optimum.
+    """
+    B, _, NH = gsr.shape
+    g3r = jnp.concatenate([gsr[:, 0], gsr[:, 1], gsr[:, 0] - gsr[:, 1]],
+                          axis=0)
+    g3i = jnp.concatenate([gsi[:, 0], gsi[:, 1], gsi[:, 0] - gsi[:, 1]],
+                          axis=0)
+    ph = _brute_phase_seed(g3r, g3i, kvec, Ns=Ns)
+    phi_full, phi_hi, phi_lo = ph[:B], ph[B:2 * B], ph[2 * B:]
+    nchan = beta.shape[-1]
+    hi = jnp.arange(nchan) >= nchan // 2
+    w_hi = jnp.where(hi[None, :], wcurv, 0.0)
+    w_lo = wcurv - w_hi
+
+    def eff(wm):
+        s = jnp.sum(wm, axis=-1)
+        return jnp.sum(wm * beta, axis=-1) / jnp.where(s > 0.0, s, 1.0), s
+
+    b_full, s_full = eff(wcurv)
+    b_hi, s_hi = eff(w_hi)
+    b_lo, s_lo = eff(w_lo)
+    dphi = mod_pm_half(phi_hi - phi_lo)
+    dbeta = kdm * (b_hi - b_lo)
+    ok = (jnp.abs(dbeta) > 1e-30) & (s_hi > 0.0) & (s_lo > 0.0) & \
+        (jnp.abs(dphi) < max_dphi)
+    dm0 = jnp.where(ok, dphi / jnp.where(ok, dbeta, 1.0), 0.0)
+    phi0 = mod_pm_half(phi_full - kdm * dm0 * b_full)
+    return phi0, dm0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fit_flags", "log10_tau", "max_iter",
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
                                     "ct", "pallas", "seed_phase",
-                                    "mharm"))
+                                    "seed_dm", "mharm"))
 def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
                             errs, weights=None,
                             nu_fits=None, fit_flags=(1, 1, 0, 0, 0),
                             log10_tau=True, max_iter=100, fft_matmul=None,
                             scattering=None, dft_precision=None,
                             stats_dtype=None, ct=None, pallas=None,
-                            seed_phase=False, scales=None,
+                            seed_phase=False, seed_dm=False, scales=None,
                             model_ft_ri=None, mharm=None):
     """Fully-jitted batched 5-parameter fit over a leading batch axis.
 
@@ -391,6 +442,14 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
     summed phase guess computed in-program (fused into the CT setup
     kernel on the CT path; from the channel-mean profiles otherwise) —
     the production seeding, without a separate device dispatch.
+
+    seed_dm=True (CT path, requires seed_phase and fit_flags[1])
+    additionally overwrites init_params[:, 1] with a brute DM guess
+    from the wrapped phase difference of the two half-band summed
+    cross-spectra (_seed_phi_dm) — the half-band accumulators ride the
+    same setup-kernel VMEM pass, so the joint seed costs no extra HBM
+    traffic and typically saves a Newton iteration (the vmapped loop
+    runs max-over-batch iterations; PERF.md round 5).
 
     model_ft_ri: optional precomputed natural-order split-real model
     spectrum (re, im), each (nchan, nharm) — pass a HOST float64 rFFT
@@ -521,7 +580,29 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
         else:
             setup_fn = functools.partial(ct_setup, dft_precision=prec_str,
                                          mharm=mharm, interpret=interp)
-        if seed_phase:
+        _seed_dm = bool(seed_dm) and seed_phase and bool(fit_flags[1])
+        if _seed_dm:
+            # stacked [full-band, upper-half] seed weights: the second
+            # accumulator rides the same setup-kernel VMEM pass, giving
+            # the joint (phi, DM) brute seed for zero extra HBM traffic
+            nchan_ = data_ports.shape[1]
+            hi_mask = (jnp.arange(nchan_) >= nchan_ // 2).astype(
+                jnp.float32)
+            w_seed = jnp.stack([w, w * hi_mask[None, :]], axis=-1)
+            Grp, Gip, sd, gsr, gsi = setup_fn(data_ports, mrp, mip,
+                                              f0_fact=bool(F0_FACT),
+                                              w=w_seed, scale=scales)
+            M2 = mrp * mrp + mip * mip
+            wcurv = w * jnp.sum(M2 * kvec * kvec, axis=-1)[None, :]
+            beta = freqs.astype(dt) ** -2.0 - \
+                (nu_fits[:, 0].astype(dt) ** -2.0)[:, None]
+            kdm = jnp.asarray(DCONST, dt) / Ps.astype(dt)
+            phi0, dm0 = _seed_phi_dm(gsr, gsi, kvec, wcurv, beta, kdm)
+            init_params = init_params.at[:, 0].set(
+                phi0.astype(init_params.dtype))
+            init_params = init_params.at[:, 1].set(
+                dm0.astype(init_params.dtype))
+        elif seed_phase:
             Grp, Gip, sd, gsr, gsi = setup_fn(data_ports, mrp, mip,
                                               f0_fact=bool(F0_FACT),
                                               w=w, scale=scales)
@@ -532,7 +613,8 @@ def fit_portrait_full_batch(data_ports, model_ports, init_params, Ps, freqs,
             Grp, Gip, sd = setup_fn(data_ports, mrp, mip,
                                     f0_fact=bool(F0_FACT),
                                     scale=scales)
-        M2 = mrp * mrp + mip * mip
+        if not _seed_dm:
+            M2 = mrp * mrp + mip * mip
         S0 = jnp.sum(M2, axis=-1)
         Sd = jnp.sum(w * sd, axis=-1)
         if stats_dtype is not None:
@@ -636,7 +718,7 @@ def unpack_result(arr, nchan):
                                     "fft_matmul", "scattering",
                                     "dft_precision", "stats_dtype",
                                     "ct", "pallas", "seed_phase",
-                                    "mharm"))
+                                    "seed_dm", "mharm"))
 def fit_portrait_full_batch_packed(*args, **kwargs):
     """fit_portrait_full_batch with the result packed into one (B, K)
     f32 array (see pack_result) — a single device->host transfer per

@@ -274,15 +274,36 @@ def direct_capped_setup(x, mr_p, mi_p, f0_fact=False,
         Gr = Gr.at[..., 0].set(0.0)
         Gi = Gi.at[..., 0].set(0.0)
     if w is not None:
-        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32), (B, nchan))
-        gsr = jnp.einsum("bc,bck->bk", w, Gr)
-        gsi = jnp.einsum("bc,bck->bk", w, Gi)
+        # w may carry K stacked seed-weight vectors (..., nchan, K) —
+        # e.g. (full-band, upper-half) for the fused (phi, DM) seed
+        # (fitters.portrait _seed_phi_dm); plain (nchan,)/(B, nchan)
+        # weights keep the single band-summed output shape
+        w3, stacked = _seed_weights(w, B, nchan)
+        gsr = jnp.einsum("bcs,bck->bsk", w3, Gr)
+        gsi = jnp.einsum("bcs,bck->bsk", w3, Gi)
+        if not stacked:
+            gsr, gsi = gsr[:, 0], gsi[:, 0]
         if squeeze:
             return Gr[0], Gi[0], sd[0], gsr[0], gsi[0]
         return Gr, Gi, sd, gsr, gsi
     if squeeze:
         return Gr[0], Gi[0], sd[0]
     return Gr, Gi, sd
+
+
+def _seed_weights(w, B, nchan):
+    """Normalize seed weights to (B, nchan, K); returns (w3, stacked).
+
+    stacked (K seed vectors, e.g. (full-band, upper-half) for the
+    fused (phi, DM) seed) requires an EXPLICIT 3-D (B, nchan, K) —
+    1-D (nchan,) and 2-D (B, nchan) are always the legacy single
+    weight vector (K=1, squeezed on output)."""
+    w = jnp.asarray(w, jnp.float32)
+    if w.ndim == 3:
+        assert w.shape[1] == nchan, \
+            f"stacked seed weights are (B, nchan, K); got {w.shape}"
+        return jnp.broadcast_to(w, (B, nchan, w.shape[-1])), True
+    return jnp.broadcast_to(w, (B, nchan))[..., None], False
 
 
 @functools.lru_cache(maxsize=8)
@@ -312,12 +333,14 @@ def _direct_slab_np(nbin: int, mharm: int):
     return Ehi, Elo
 
 
-def _direct_kernel_factory(nbin, NH, f0_fact, npass, with_seed,
+def _direct_kernel_factory(nbin, NH, f0_fact, npass, kseed,
                            with_scale):
     """Fused direct-DFT setup kernel body: one HBM read of the data
     tile, MXU dots against the VMEM-resident trig slab, and the same
     fused epilogue as ct_setup (dequantize, Parseval sd, Gr/Gi,
-    band-summed seed accumulators)."""
+    band-summed seed accumulators).  kseed: number of stacked seed
+    weight vectors (0 = no seed outputs)."""
+    with_seed = kseed > 0
 
     def kernel(x_ref, ehi_ref, elo_ref, mr_ref, mi_ref, *rest):
         if with_scale:
@@ -372,9 +395,13 @@ def _direct_kernel_factory(nbin, NH, f0_fact, npass, with_seed,
         sd_ref[0] = sd
         if with_seed:
             from jax.experimental import pallas as pl
-            wblk = w_ref[0]               # (CBLK, 1)
-            ssr = jnp.sum(wblk * grv, axis=0, keepdims=True)
-            ssi = jnp.sum(wblk * giv, axis=0, keepdims=True)
+            wblk = w_ref[0]               # (CBLK, K)
+            ssr = jnp.concatenate(
+                [jnp.sum(wblk[:, k:k + 1] * grv, axis=0, keepdims=True)
+                 for k in range(kseed)], axis=0)       # (K, NH)
+            ssi = jnp.concatenate(
+                [jnp.sum(wblk[:, k:k + 1] * giv, axis=0, keepdims=True)
+                 for k in range(kseed)], axis=0)
             i = pl.program_id(1)
 
             @pl.when(i == 0)
@@ -442,9 +469,10 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
     else:
         x = x.astype(jnp.float32)
     with_seed = w is not None
+    kseed, stacked = 0, False
     if with_seed:
-        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32),
-                             (B, nchan))[..., None]
+        w, stacked = _seed_weights(w, B, nchan)
+        kseed = w.shape[-1]
     cblk = 128 if nchan >= 128 else nchan + ((-nchan) % 8)
     pad = (-nchan) % cblk
     if pad:
@@ -458,7 +486,7 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
     ntot = nchan + pad
     grid = (B, ntot // cblk)
     kern = _direct_kernel_factory(nbin, NH, bool(f0_fact), int(npass),
-                                  with_seed, with_scale)
+                                  kseed, with_scale)
     out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))
@@ -470,12 +498,12 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
                               memory_space=pltpu.VMEM))
     if with_seed:
         out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32))
+            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32),
+            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32))
         out_specs = out_specs + (
-            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
@@ -495,7 +523,8 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
                                      memory_space=pltpu.VMEM))
         args.append(scale)
     if with_seed:
-        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+        in_specs.append(pl.BlockSpec((1, cblk, kseed),
+                                     lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(w)
     flops = npass * 2 * B * ntot * nbin * 2 * NH
@@ -517,7 +546,9 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
     Gi_p = Gi_p[:, :nchan]
     sd = sd[:, :nchan, 0]
     if with_seed:
-        gsr, gsi = out[3][:, 0], out[4][:, 0]
+        gsr, gsi = out[3], out[4]                    # (B, K, NH)
+        if not stacked:
+            gsr, gsi = gsr[:, 0], gsi[:, 0]
         if squeeze:
             return Gr_p[0], Gi_p[0], sd[0], gsr[0], gsi[0]
         return Gr_p, Gi_p, sd, gsr, gsi
@@ -545,11 +576,18 @@ def _ct_consts_np(nbin: int):
     return E1c, E1s, C2, S2, TC, TS, ALT
 
 
-def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
+def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
                              with_scale=False, mharm=None):
     NQ, M0, NH = ct_geometry(nbin, mharm)
     capped = mharm is not None
+    with_seed = kseed > 0
     E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
+
+    def _wsum(wblk, g):
+        # (CBLK, K) weights x (CBLK, M) values -> (K, M) seed sums
+        return jnp.concatenate(
+            [jnp.sum(wblk[:, k:k + 1] * g, axis=0, keepdims=True)
+             for k in range(kseed)], axis=0)
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
                alt_ref, *rest):
@@ -560,12 +598,12 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
             # discards) — HBM reads half the bytes of the f32 path
             scl_ref, rest = rest[0], rest[1:]
         if with_seed:
-            # seed mode: one extra (cblk, 1) weight input and two
-            # (1, NH) outputs accumulating sum_c w_c * G over the
-            # channel-block grid axis — the brute phase seed's
-            # band-summed cross-spectrum for free while G is in VMEM
+            # seed mode: one extra (cblk, K) weight input and two
+            # (K, NH) outputs accumulating sum_c w_ck * G over the
+            # channel-block grid axis — the brute phase(/DM) seed's
+            # band-summed cross-spectra for free while G is in VMEM
             w_ref, gr_ref, gi_ref, sd_ref, gsr_ref, gsi_ref = rest
-            wblk = w_ref[0]                    # (CBLK, 1)
+            wblk = w_ref[0]                    # (CBLK, K)
             seg_r = []
             seg_i = []
         else:
@@ -642,8 +680,8 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
                         [jnp.zeros_like(grv[:, :1]), grv[:, 1:]], axis=-1)
                     giv = jnp.concatenate(
                         [jnp.zeros_like(giv[:, :1]), giv[:, 1:]], axis=-1)
-                seg_r.append(jnp.sum(wblk * grv, axis=0, keepdims=True))
-                seg_i.append(jnp.sum(wblk * giv, axis=0, keepdims=True))
+                seg_r.append(_wsum(wblk, grv))
+                seg_i.append(_wsum(wblk, giv))
         if capped:
             # Parseval data power over ALL harmonics k=1..N/2 (plus DC
             # when f0_fact keeps it) — exact regardless of the cap
@@ -669,11 +707,9 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, with_seed=False,
         if with_seed:
             from jax.experimental import pallas as pl
             if not capped:
-                seg_r.append(jnp.sum(wblk * (ny * mr_n), axis=0,
-                                     keepdims=True))
-                seg_i.append(jnp.sum(wblk * (-(ny * mi_n)), axis=0,
-                                     keepdims=True))
-            ssr = jnp.concatenate(seg_r, axis=-1)      # (1, NH)
+                seg_r.append(_wsum(wblk, ny * mr_n))
+                seg_i.append(_wsum(wblk, -(ny * mi_n)))
+            ssr = jnp.concatenate(seg_r, axis=-1)      # (K, NH)
             ssi = jnp.concatenate(seg_i, axis=-1)
             i = pl.program_id(1)
 
@@ -714,6 +750,9 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     x), accumulate sum_c w_c * G_ck in the same VMEM pass — the
     band-summed cross-spectrum the brute phase seed needs, without a
     second read of the spectra (fitters.portrait seed_phase path).
+    An explicit 3-D (B, nchan, K) stacks K seed-weight vectors (the
+    (phi, DM) seed passes [full-band, upper-half]); the seed outputs
+    are then (B, K, NH).
 
     scale: optional per-channel dequantization scale (nchan,) or
     (B, nchan), used with integer x (int16-native ingest: the PSRFITS
@@ -758,9 +797,10 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     mi_p = mi_p.astype(jnp.float32)
 
     with_seed = w is not None
+    kseed, stacked = 0, False
     if with_seed:
-        w = jnp.broadcast_to(jnp.asarray(w, jnp.float32),
-                             (B, nchan))[..., None]    # (B, nchan, 1)
+        w, stacked = _seed_weights(w, B, nchan)    # (B, nchan, K)
+        kseed = w.shape[-1]
     cblk = 128 if nchan >= 128 else nchan + ((-nchan) % 8)
     pad = (-nchan) % cblk
     if pad:
@@ -774,7 +814,7 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     ntot = nchan + pad
     grid = (B, ntot // cblk)
     kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec,
-                                    with_seed=with_seed,
+                                    kseed=kseed,
                                     with_scale=with_scale, mharm=mharm)
     out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
@@ -787,12 +827,12 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
                               memory_space=pltpu.VMEM))
     if with_seed:
         out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32))
+            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32),
+            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32))
         out_specs = out_specs + (
-            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
@@ -819,7 +859,8 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
                                      memory_space=pltpu.VMEM))
         args.append(scale)
     if with_seed:
-        in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
+        in_specs.append(pl.BlockSpec((1, cblk, kseed),
+                                     lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(w)
     out = pl.pallas_call(
@@ -835,7 +876,9 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     Gi_p = Gi_p[:, :nchan]
     sd = sd[:, :nchan, 0]
     if with_seed:
-        gsr, gsi = out[3][:, 0], out[4][:, 0]
+        gsr, gsi = out[3], out[4]                    # (B, K, NH)
+        if not stacked:
+            gsr, gsi = gsr[:, 0], gsi[:, 0]
         if squeeze:
             return Gr_p[0], Gi_p[0], sd[0], gsr[0], gsi[0]
         return Gr_p, Gi_p, sd, gsr, gsi

@@ -102,7 +102,8 @@ def fit_portrait_full_sharded_direct(mesh, data_ports, model_port,
                                      fit_flags=(1, 1, 0, 0, 0),
                                      log10_tau=True, max_iter=100,
                                      scattering=None, dft_precision="high",
-                                     seed_phase=False, scales=None,
+                                     seed_phase=False, seed_dm=False,
+                                     scales=None,
                                      model_ft_ri=None, mharm=None,
                                      packed=False):
     """Multi-chip capped fit through the DIRECT DFT-matmul setup.
@@ -166,6 +167,7 @@ def fit_portrait_full_sharded_direct(mesh, data_ports, model_port,
               max_iter=max_iter, scattering=scattering,
               dft_precision=dft_precision, fft_matmul=True,
               ct=True, pallas=False, seed_phase=seed_phase,
+              seed_dm=seed_dm,
               scales=None if scales is None else
               jax.device_put(jnp.asarray(scales), s_chan),
               model_ft_ri=(jax.device_put(jnp.asarray(model_ft_ri[0]),

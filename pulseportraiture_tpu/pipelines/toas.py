@@ -696,11 +696,19 @@ class GetTOAs:
             for _, p in part:
                 p.pop("port", None)
             del ports_np
+            # joint (phi, DM) brute seed: the second half-band seed
+            # accumulator rides the setup kernel's VMEM pass (zero
+            # extra HBM traffic) and typically saves a Newton
+            # iteration; it only moves the start point, never the
+            # optimum (fitters/portrait._seed_phi_dm).  PP_SEED_DM=0
+            # opts out (falls back to the phase-only seed).
+            seed_dm = bool(fit_flags[1]) and os.environ.get(
+                "PP_SEED_DM", "1") not in ("0", "false")
             fit_kw = dict(
                 nu_fits=nu_fits_arg,
                 fit_flags=fit_flags, log10_tau=log10_tau,
                 scattering=None if fit_scat else False,
-                seed_phase=True, scales=scales_arg,
+                seed_phase=True, seed_dm=seed_dm, scales=scales_arg,
                 dft_precision=os.environ.get("PP_DFT_PRECISION",
                                              "high"))
             mft = part[0][1].get("mft")
@@ -769,7 +777,8 @@ class GetTOAs:
                         fit_flags=fit_flags, log10_tau=log10_tau,
                         scattering=None if fit_scat else False,
                         dft_precision=fit_kw["dft_precision"],
-                        seed_phase=True, scales=scales_arg,
+                        seed_phase=True, seed_dm=seed_dm,
+                        scales=scales_arg,
                         packed=True, **cap_kw)
                     inflight.append((bres, nchan_pair, part, npart, t0))
                 elif shared and _use_ct_setup(int(shape[1]), True):

@@ -697,3 +697,132 @@ def test_capped_fit_direct_path_matches_uncapped(nbin=512):
     assert np.abs(pc[:, 1] - pf[:, 1]).max() < 2e-6          # DM
     assert np.allclose(np.asarray(r_cap.chi2), np.asarray(r_full.chi2),
                        rtol=1e-4)
+
+
+def test_stacked_seed_weights_match_single(nbin=512):
+    """(B, nchan, K) stacked seed weights: row 0 reproduces the legacy
+    single-w band sum bit-for-bit; row k equals the explicit einsum of
+    its weight vector with Gr/Gi — on ct_setup, pallas_direct_setup
+    and direct_capped_setup."""
+    from pulseportraiture_tpu.ops.ct_dft import (band_cap_model_ft,
+                                                 direct_capped_setup,
+                                                 pallas_direct_setup)
+    rng = np.random.default_rng(11)
+    B, nchan = 2, 16
+    x = rng.normal(0, 1, (B, nchan, nbin)).astype(np.float32)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.03) ** 2)
+    m64 = prof[None, :] * np.linspace(0.5, 1.5, nchan)[:, None]
+    mf64 = np.fft.rfft(m64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    w1 = rng.uniform(0.5, 2.0, (B, nchan)).astype(np.float32)
+    hi = (np.arange(nchan) >= nchan // 2).astype(np.float32)
+    w2 = (w1 * hi[None, :]).astype(np.float32)
+    wst = np.stack([w1, w2], axis=-1)
+
+    for mharm, fn in ((None, ct_setup), (mh, ct_setup),
+                      (mh, pallas_direct_setup),
+                      (mh, direct_capped_setup)):
+        mrp, mip = permute_spectrum(
+            jnp.asarray(mf64.real.astype(np.float32) if mharm is None
+                        else mr),
+            jnp.asarray(mf64.imag.astype(np.float32) if mharm is None
+                        else mi), nbin, mharm=mharm)
+        kw = dict(f0_fact=False, mharm=mharm)
+        if fn is not direct_capped_setup:
+            kw["interpret"] = True
+        if fn is ct_setup and mharm is None:
+            kw.pop("mharm")
+        Gr, Gi, sd, gsr1, gsi1 = fn(jnp.asarray(x), mrp, mip,
+                                    w=jnp.asarray(w1), **kw)
+        Gr2, Gi2, sd2, gsrS, gsiS = fn(jnp.asarray(x), mrp, mip,
+                                       w=jnp.asarray(wst), **kw)
+        assert gsrS.shape[1] == 2 and gsiS.shape[1] == 2
+        np.testing.assert_array_equal(np.asarray(Gr2), np.asarray(Gr))
+        np.testing.assert_array_equal(np.asarray(sd2), np.asarray(sd))
+        np.testing.assert_allclose(np.asarray(gsrS[:, 0]),
+                                   np.asarray(gsr1), rtol=1e-6,
+                                   atol=1e-6 * np.abs(
+                                       np.asarray(gsr1)).max())
+        ref_r = np.einsum("bc,bck->bk", w2, np.asarray(Gr))
+        ref_i = np.einsum("bc,bck->bk", w2, np.asarray(Gi))
+        scale = max(np.abs(ref_r).max(), np.abs(ref_i).max(), 1.0)
+        assert np.abs(np.asarray(gsrS[:, 1]) - ref_r).max() / scale < 1e-5
+        assert np.abs(np.asarray(gsiS[:, 1]) - ref_i).max() / scale < 1e-5
+
+
+def test_seed_dm_matches_phase_seed_fit(nbin=512):
+    """seed_dm=True seeds (phi, DM) jointly from the stacked half-band
+    cross-spectra; the converged fit is unchanged (the seed only moves
+    the Newton start) and the seeded DM lands near the injected value."""
+    from pulseportraiture_tpu.config import DCONST
+    from pulseportraiture_tpu.fitters.portrait import (
+        _seed_phi_dm, fit_portrait_full_batch)
+    from pulseportraiture_tpu.ops.ct_dft import band_cap_model_ft
+
+    rng = np.random.default_rng(5)
+    B, nchan = 4, 64
+    freqs = np.linspace(1100.0, 1900.0, nchan)
+    xg = (np.arange(nbin) + 0.5) / nbin
+    prof = np.exp(-0.5 * ((xg - 0.4) / 0.02) ** 2)
+    model64 = prof[None, :] * (freqs[:, None] / 1500.0) ** -1.5
+    model = model64.astype(np.float32)
+    mf64 = np.fft.rfft(model64, axis=-1)
+    mr, mi, mh = band_cap_model_ft(mf64.real, mf64.imag, nbin)
+    assert mh is not None
+    P = 0.003
+    k = 2j * np.pi * np.arange(nbin // 2 + 1)
+    phis0 = rng.uniform(-0.01, 0.01, B)
+    dms0 = rng.uniform(-2e-4, 2e-4, B)
+    nu_fit = freqs.mean()
+    data = np.empty((B, nchan, nbin), np.float32)
+    for i in range(B):
+        sh = phis0[i] + DCONST * dms0[i] / P * (freqs ** -2 -
+                                                nu_fit ** -2)
+        data[i] = np.fft.irfft(mf64 * np.exp(-k * sh[:, None]),
+                               n=nbin, axis=-1)
+    data += rng.normal(0, 0.02, data.shape).astype(np.float32)
+    args = (jnp.asarray(data), jnp.asarray(model),
+            jnp.zeros((B, 5), jnp.float32),
+            jnp.full(B, P, jnp.float32), jnp.asarray(freqs, jnp.float32),
+            jnp.full((B, nchan), 0.02, jnp.float32))
+    kw = dict(nu_fits=jnp.full((B, 3), nu_fit, jnp.float32),
+              fit_flags=(1, 1, 0, 0, 0), log10_tau=False, max_iter=20,
+              scattering=False, ct=True, fft_matmul=True,
+              dft_precision="high",
+              model_ft_ri=(jnp.asarray(mr), jnp.asarray(mi)), mharm=mh)
+    r_ph = fit_portrait_full_batch(*args, seed_phase=True, **kw)
+    r_dm = fit_portrait_full_batch(*args, seed_phase=True, seed_dm=True,
+                                   **kw)
+    p0 = np.asarray(r_ph.params)
+    p1 = np.asarray(r_dm.params)
+    assert np.abs(p1[:, 0] - p0[:, 0]).max() < 1e-6
+    assert np.abs(p1[:, 1] - p0[:, 1]).max() < 1e-6
+    assert np.asarray(r_dm.niter).mean() <= np.asarray(r_ph.niter).mean()
+
+    # the raw seed itself: run the seed math on the stacked setup sums
+    from pulseportraiture_tpu.ops.ct_dft import ct_kvec
+    w = np.full((B, nchan), (0.02 * np.sqrt(nbin / 2.0)) ** -2.0,
+                np.float32)
+    hi = (np.arange(nchan) >= nchan // 2).astype(np.float32)
+    wst = np.stack([w, w * hi[None, :]], axis=-1)
+    mrp, mip = permute_spectrum(jnp.asarray(mr), jnp.asarray(mi), nbin,
+                                mharm=mh)
+    _, _, _, gsr, gsi = ct_setup(jnp.asarray(data), mrp, mip,
+                                 f0_fact=False, interpret=True,
+                                 w=jnp.asarray(wst), mharm=mh)
+    kv = jnp.asarray(ct_kvec(nbin, mharm=mh))
+    M2 = np.asarray(mrp) ** 2 + np.asarray(mip) ** 2
+    wcurv = jnp.asarray(w * (M2 * np.asarray(kv) ** 2).sum(-1)[None, :])
+    beta = jnp.asarray((freqs ** -2 - nu_fit ** -2)[None, :] *
+                       np.ones((B, 1)), jnp.float32)
+    kdm = jnp.full(B, DCONST / P, jnp.float32)
+    phi0, dm0 = _seed_phi_dm(gsr, gsi, kv, wcurv, beta, kdm)
+    # the seed is a Newton START, not an estimator: at this shape
+    # (64 ch, noise 0.02) the half-band phase-difference DM carries a
+    # ~1e-4 statistical error — assert it lands within the injected
+    # offset scale (so it beats the DM=0 start it replaces), and the
+    # phase within a few grid steps
+    assert np.abs(np.asarray(dm0) - p0[:, 1]).max() < 4e-4
+    assert np.abs(np.asarray(phi0) - p0[:, 0]).max() < 1e-3
