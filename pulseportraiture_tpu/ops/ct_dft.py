@@ -346,7 +346,12 @@ def _direct_kernel_factory(nbin, NH, f0_fact, npass, kseed,
         if with_scale:
             scl_ref, rest = rest[0], rest[1:]
         if with_seed:
-            w_ref, gr_ref, gi_ref, sd_ref, gsr_ref, gsi_ref = rest
+            # one (gsr, gsi) output-ref pair PER seed vector: Mosaic
+            # cannot concatenate sub-lane-width vectors along the
+            # sublane axis, so the stacked-K result is assembled on
+            # the host from K independent accumulators
+            w_ref, gr_ref, gi_ref, sd_ref = rest[:4]
+            seed_refs = rest[4:]
         else:
             gr_ref, gi_ref, sd_ref = rest
         x = x_ref[0]                     # (CBLK, nbin) f32 or int16
@@ -396,23 +401,26 @@ def _direct_kernel_factory(nbin, NH, f0_fact, npass, kseed,
         if with_seed:
             from jax.experimental import pallas as pl
             wblk = w_ref[0]               # (CBLK, K)
-            ssr = jnp.concatenate(
-                [jnp.sum(wblk[:, k:k + 1] * grv, axis=0, keepdims=True)
-                 for k in range(kseed)], axis=0)       # (K, NH)
-            ssi = jnp.concatenate(
-                [jnp.sum(wblk[:, k:k + 1] * giv, axis=0, keepdims=True)
-                 for k in range(kseed)], axis=0)
             i = pl.program_id(1)
+            for k in range(kseed):
+                ssr = jnp.sum(wblk[:, k:k + 1] * grv, axis=0,
+                              keepdims=True)           # (1, NH)
+                ssi = jnp.sum(wblk[:, k:k + 1] * giv, axis=0,
+                              keepdims=True)
+                gsr_ref = seed_refs[2 * k]
+                gsi_ref = seed_refs[2 * k + 1]
 
-            @pl.when(i == 0)
-            def _init():
-                gsr_ref[0] = ssr
-                gsi_ref[0] = ssi
+                @pl.when(i == 0)
+                def _init(gsr_ref=gsr_ref, gsi_ref=gsi_ref, ssr=ssr,
+                          ssi=ssi):
+                    gsr_ref[0] = ssr
+                    gsi_ref[0] = ssi
 
-            @pl.when(i > 0)
-            def _acc():
-                gsr_ref[0] = gsr_ref[0] + ssr
-                gsi_ref[0] = gsi_ref[0] + ssi
+                @pl.when(i > 0)
+                def _acc(gsr_ref=gsr_ref, gsi_ref=gsi_ref, ssr=ssr,
+                         ssi=ssi):
+                    gsr_ref[0] = gsr_ref[0] + ssr
+                    gsi_ref[0] = gsi_ref[0] + ssi
 
     return kernel
 
@@ -497,14 +505,12 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
                  pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
                               memory_space=pltpu.VMEM))
     if with_seed:
-        out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32),
-            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32))
-        out_specs = out_specs + (
-            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM))
+        # one (B, 1, NH) accumulator pair per seed vector (see kernel)
+        out_shapes = out_shapes + 2 * kseed * (
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),)
+        out_specs = out_specs + 2 * kseed * (
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),)
     in_specs = [
         pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
@@ -546,7 +552,9 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
     Gi_p = Gi_p[:, :nchan]
     sd = sd[:, :nchan, 0]
     if with_seed:
-        gsr, gsi = out[3], out[4]                    # (B, K, NH)
+        # K accumulator pairs -> (B, K, NH) (or the legacy (B, NH))
+        gsr = jnp.concatenate(out[3::2], axis=1)
+        gsi = jnp.concatenate(out[4::2], axis=1)
         if not stacked:
             gsr, gsi = gsr[:, 0], gsi[:, 0]
         if squeeze:
@@ -584,10 +592,12 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
     E1c, E1s, _, _, _, _, _ = _ct_consts_np(nbin)
 
     def _wsum(wblk, g):
-        # (CBLK, K) weights x (CBLK, M) values -> (K, M) seed sums
-        return jnp.concatenate(
-            [jnp.sum(wblk[:, k:k + 1] * g, axis=0, keepdims=True)
-             for k in range(kseed)], axis=0)
+        # (CBLK, K) weights x (CBLK, M) values -> K x (1, M) seed sums
+        # (kept as a per-k LIST: Mosaic cannot concatenate sub-lane
+        # vectors along the sublane axis, so each seed vector owns its
+        # own accumulator ref and the K-stack is assembled on the host)
+        return [jnp.sum(wblk[:, k:k + 1] * g, axis=0, keepdims=True)
+                for k in range(kseed)]
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
                alt_ref, *rest):
@@ -598,14 +608,16 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
             # discards) — HBM reads half the bytes of the f32 path
             scl_ref, rest = rest[0], rest[1:]
         if with_seed:
-            # seed mode: one extra (cblk, K) weight input and two
-            # (K, NH) outputs accumulating sum_c w_ck * G over the
-            # channel-block grid axis — the brute phase(/DM) seed's
-            # band-summed cross-spectra for free while G is in VMEM
-            w_ref, gr_ref, gi_ref, sd_ref, gsr_ref, gsi_ref = rest
+            # seed mode: one extra (cblk, K) weight input and one
+            # (1, NH) output pair PER seed vector accumulating
+            # sum_c w_ck * G over the channel-block grid axis — the
+            # brute phase(/DM) seed's band-summed cross-spectra for
+            # free while G is in VMEM
+            w_ref, gr_ref, gi_ref, sd_ref = rest[:4]
+            seed_refs = rest[4:]
             wblk = w_ref[0]                    # (CBLK, K)
-            seg_r = []
-            seg_i = []
+            seg_r = [[] for _ in range(kseed)]
+            seg_i = [[] for _ in range(kseed)]
         else:
             gr_ref, gi_ref, sd_ref = rest
         C2 = c2_ref[:]
@@ -680,8 +692,10 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
                         [jnp.zeros_like(grv[:, :1]), grv[:, 1:]], axis=-1)
                     giv = jnp.concatenate(
                         [jnp.zeros_like(giv[:, :1]), giv[:, 1:]], axis=-1)
-                seg_r.append(_wsum(wblk, grv))
-                seg_i.append(_wsum(wblk, giv))
+                for k, (sr, si) in enumerate(zip(_wsum(wblk, grv),
+                                                 _wsum(wblk, giv))):
+                    seg_r[k].append(sr)
+                    seg_i[k].append(si)
         if capped:
             # Parseval data power over ALL harmonics k=1..N/2 (plus DC
             # when f0_fact keeps it) — exact regardless of the cap
@@ -707,21 +721,29 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
         if with_seed:
             from jax.experimental import pallas as pl
             if not capped:
-                seg_r.append(_wsum(wblk, ny * mr_n))
-                seg_i.append(_wsum(wblk, -(ny * mi_n)))
-            ssr = jnp.concatenate(seg_r, axis=-1)      # (K, NH)
-            ssi = jnp.concatenate(seg_i, axis=-1)
+                for k, (sr, si) in enumerate(zip(
+                        _wsum(wblk, ny * mr_n),
+                        _wsum(wblk, -(ny * mi_n)))):
+                    seg_r[k].append(sr)
+                    seg_i[k].append(si)
             i = pl.program_id(1)
+            for k in range(kseed):
+                ssr = jnp.concatenate(seg_r[k], axis=-1)   # (1, NH)
+                ssi = jnp.concatenate(seg_i[k], axis=-1)
+                gsr_ref = seed_refs[2 * k]
+                gsi_ref = seed_refs[2 * k + 1]
 
-            @pl.when(i == 0)
-            def _init():
-                gsr_ref[0] = ssr
-                gsi_ref[0] = ssi
+                @pl.when(i == 0)
+                def _init(gsr_ref=gsr_ref, gsi_ref=gsi_ref, ssr=ssr,
+                          ssi=ssi):
+                    gsr_ref[0] = ssr
+                    gsi_ref[0] = ssi
 
-            @pl.when(i > 0)
-            def _acc():
-                gsr_ref[0] = gsr_ref[0] + ssr
-                gsi_ref[0] = gsi_ref[0] + ssi
+                @pl.when(i > 0)
+                def _acc(gsr_ref=gsr_ref, gsi_ref=gsi_ref, ssr=ssr,
+                         ssi=ssi):
+                    gsr_ref[0] = gsr_ref[0] + ssr
+                    gsi_ref[0] = gsi_ref[0] + ssi
 
     return kernel
 
@@ -826,14 +848,12 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
                  pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
                               memory_space=pltpu.VMEM))
     if with_seed:
-        out_shapes = out_shapes + (
-            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32),
-            jax.ShapeDtypeStruct((B, kseed, NH), jnp.float32))
-        out_specs = out_specs + (
-            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kseed, NH), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM))
+        # one (B, 1, NH) accumulator pair per seed vector (see kernel)
+        out_shapes = out_shapes + 2 * kseed * (
+            jax.ShapeDtypeStruct((B, 1, NH), jnp.float32),)
+        out_specs = out_specs + 2 * kseed * (
+            pl.BlockSpec((1, 1, NH), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),)
     in_specs = [
         pl.BlockSpec((1, cblk, nbin), lambda b, i: (b, i, 0),
                      memory_space=pltpu.VMEM),
@@ -876,7 +896,9 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     Gi_p = Gi_p[:, :nchan]
     sd = sd[:, :nchan, 0]
     if with_seed:
-        gsr, gsi = out[3], out[4]                    # (B, K, NH)
+        # K accumulator pairs -> (B, K, NH) (or the legacy (B, NH))
+        gsr = jnp.concatenate(out[3::2], axis=1)
+        gsi = jnp.concatenate(out[4::2], axis=1)
         if not stacked:
             gsr, gsi = gsr[:, 0], gsi[:, 0]
         if squeeze:
