@@ -421,3 +421,68 @@ def test_model_side_base_rotation_equivalence():
     assert abs(float(ra.phi) - float(rb.phi)) < 1e-9
     assert abs(float(ra.DM) - float(rb.DM)) < 1e-9
     assert abs(float(ra.nu_DM) - float(rb.nu_DM)) < 1e-6
+
+
+def test_newton_speculative_final_step_exact_quadratic():
+    """The speculative final step (round 5): on a pure quadratic with a
+    huge constant offset (so the 8*eps*|f| floor dwarfs the remaining
+    decrease after one Newton step), the optimizer takes the exact
+    Newton step on iteration 1, then the lookahead solves the next
+    subproblem (p2 = 0 at the optimum) and stops WITHOUT another fgh
+    evaluation — landing exactly at the minimizer with nfev == 2."""
+    from pulseportraiture_tpu.fitters import newton
+
+    a = jnp.asarray([0.3, -0.7])
+    H0 = jnp.asarray([[4.0, 1.0], [1.0, 3.0]])
+    C = jnp.asarray(3e7, jnp.float32)       # bench-scale chi2 offset
+
+    calls = []
+
+    def fgh(x):
+        calls.append(1)
+        d = x - a
+        return C + 0.5 * d @ H0 @ d, H0 @ d, H0
+
+    res = newton.trust_region_minimize(fgh, jnp.asarray([0.0, 0.0]),
+                                       max_iter=30, init_radius=100.0)
+    assert np.abs(np.asarray(res.x) - np.asarray(a)).max() < 1e-5
+    # exactly two fgh evaluations: the initial one and the accepted
+    # Newton step; the stop (gconv under x64, the speculative lookahead
+    # under f32's large floor) costs none
+    assert int(res.nfev) == 2 and int(res.niter) == 1
+    assert int(res.status) in (0, 1) and bool(res.success)
+
+    # tiny offset: the floor is negligible, classic convergence applies
+    # and the result is identical
+    def fgh_small(x):
+        d = x - a
+        return 0.5 * d @ H0 @ d, H0 @ d, H0
+
+    res2 = newton.trust_region_minimize(fgh_small,
+                                        jnp.asarray([0.0, 0.0]),
+                                        max_iter=30, init_radius=100.0)
+    assert np.abs(np.asarray(res2.x) - np.asarray(a)).max() < 1e-5
+    assert bool(res2.success)
+
+
+def test_newton_speculative_step_respects_mask():
+    """Masked (non-fitted) coordinates must not move through the
+    speculative final step either."""
+    from pulseportraiture_tpu.fitters import newton
+
+    a = jnp.asarray([0.3, -0.7, 0.25])
+    H0 = jnp.asarray([[4.0, 1.0, 0.0], [1.0, 3.0, 0.0],
+                      [0.0, 0.0, 1.0]])
+    C = jnp.asarray(3e7, jnp.float32)
+
+    def fgh(x):
+        d = x - a
+        # masked coordinate: zero gradient row, identity Hessian
+        g = (H0 @ d).at[2].set(0.0)
+        return C + 0.5 * d @ H0 @ d, g, H0
+
+    res = newton.trust_region_minimize(
+        fgh, jnp.asarray([0.0, 0.0, 0.125]), max_iter=30,
+        init_radius=100.0, step_mask=(1, 1, 0))
+    assert float(res.x[2]) == 0.125
+    assert np.abs(np.asarray(res.x[:2]) - np.asarray(a[:2])).max() < 1e-5
