@@ -40,14 +40,17 @@ def pca(port, mean_prof=None, weights=None, quiet=True):
     X = delta - wmean
     V1 = weights.sum()
     V2 = (weights ** 2).sum()
-    if X.size >= (1 << 22):
-        # campaign-scale portraits (4096ch x 2048bin: a ~17 GFLOP
-        # covariance): form the Gram matrix on device at HIGHEST matmul
-        # precision — the default bf16 passes would distort the
-        # covariance that the eigendecomposition diagonalizes.  The
-        # eigh itself stays on the host (a 2048^2 symmetric solve is
-        # seconds of LAPACK, and the remote-TPU backend's eigh pays a
-        # minutes-long remote compile and has shown tunnel failures).
+    import os
+    if X.size >= (1 << 22) and os.environ.get("PP_PCA_DEVICE") not in \
+            (None, "0", "false"):
+        # opt-in device Gram matrix (HIGHEST precision — the default
+        # bf16 passes would distort the covariance the eigh
+        # diagonalizes).  Round 5 flipped the campaign-scale DEFAULT
+        # back to host BLAS: the 34-GFLOP f64 gemm is ~2-3 s of
+        # OpenBLAS even on one core, while the device route pays a
+        # dispatch + a (nbin, nbin) fetch that measured ~10x slower
+        # over the tunneled backend (PERF.md round-5 model-build
+        # section); on any host the eigh stays in LAPACK regardless.
         try:
             Xd = jnp.asarray(X)
             cov = np.asarray(retry_transient(lambda: jax.numpy.matmul(
@@ -78,10 +81,16 @@ def reconstruct_portrait(port, mean_prof, eigvec):
 
 def find_significant_eigvec(eigvec, check_max=10, return_max=10,
                             snr_cutoff=150.0, check_crossings=True,
-                            check_acorr=True, return_smooth=True, **kwargs):
+                            check_acorr=True, return_smooth=True,
+                            evs_all=None, **kwargs):
     """Indices of significant eigenvectors by smoothing + Fourier S/N.
 
     Reference: pplib.py:1555-1619.
+
+    evs_all: optional precomputed smart_smooth of eigvec.T[:nvec] —
+    callers that also smooth other profiles (make_spline_model smooths
+    the mean profile) batch everything into ONE smart_smooth call,
+    since each wavelet level is a distinct compiled device program.
     """
     from pulseportraiture_tpu.models.wavelet import smart_smooth
     eigvec = np.asarray(eigvec)
@@ -91,7 +100,10 @@ def find_significant_eigvec(eigvec, check_max=10, return_max=10,
     # a (nbin,) profile): the per-vector loop cost 10x the dispatches
     # and device round trips for identical results
     nvec = max(check_max, return_max)
-    evs_all = np.asarray(smart_smooth(eigvec.T[:nvec], **kwargs))
+    if evs_all is None:
+        evs_all = np.asarray(smart_smooth(eigvec.T[:nvec], **kwargs))
+    else:
+        evs_all = np.asarray(evs_all)[:nvec]
     noises_all = np.asarray(get_noise_PS(eigvec.T[:nvec], chans=True)) * \
         np.sqrt(eigvec.shape[0] / 2.0)
     for ivec in range(nvec):
@@ -290,6 +302,51 @@ def fit_parametric_spline(u, points, weights=None, k=3, s=None,
                     hi = mid
             coefs, fp = fit_penalized(t, lo)
     return (jnp.asarray(t), jnp.asarray(coefs), k), fp
+
+
+def splev_np(x, tck):
+    """Host-numpy splev (parametric): values (ndim, npts).
+
+    Same curve as splev (the de Boor bases agree to rounding); used
+    where the result is consumed on the HOST — on a tunneled backend a
+    device evaluation of a (nchan, nbin) portrait pays a multi-second
+    fetch for ~0.1 GFLOP of work (PERF.md round-5 model-build section).
+    """
+    t, c, k = tck
+    t = np.asarray(t, dtype=float)
+    c = np.atleast_2d(np.asarray(c, dtype=float))
+    x = np.atleast_1d(np.asarray(x, dtype=float))
+    B = _bspline_basis(x, t, int(k))         # (npts, ncoef)
+    return c @ B.T                           # (ndim, npts)
+
+
+def gen_spline_portrait_np(mean_prof, freqs, eigvec, tck, nbin=None):
+    """Host-numpy gen_spline_portrait (same contract; see splev_np)."""
+    mean_prof = np.asarray(mean_prof, dtype=float)
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=float))
+    eigvec = np.asarray(eigvec, dtype=float)
+    if eigvec.shape[1] == 0:
+        port = np.tile(mean_prof, (freqs.shape[0], 1))
+    else:
+        proj = splev_np(freqs, tck).T        # (nfreq, ncomp)
+        port = proj @ eigvec.T + mean_prof
+    if nbin is not None and mean_prof.shape[-1] != nbin:
+        old_nbin = mean_prof.shape[-1]
+        from scipy.signal import resample
+        port = resample(port, nbin, axis=-1)
+        shift = 0.5 * (1.0 / nbin - 1.0 / old_nbin)
+        from pulseportraiture_tpu.ops.rotate import rotate_portrait_np
+        port = rotate_portrait_np(port, shift)
+    return port
+
+
+def reconstruct_portrait_np(port, mean_prof, eigvec):
+    """Host-numpy reconstruct_portrait (~0.2 GFLOP; see splev_np)."""
+    port = np.asarray(port, dtype=float)
+    mean_prof = np.asarray(mean_prof, dtype=float)
+    eigvec = np.asarray(eigvec, dtype=float)
+    delta = port - mean_prof
+    return (delta @ eigvec) @ eigvec.T + mean_prof
 
 
 def gen_spline_portrait(mean_prof, freqs, eigvec, tck, nbin=None):

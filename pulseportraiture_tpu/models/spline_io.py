@@ -61,8 +61,9 @@ def read_spline_model(modelfile, freqs=None, nbin=None, quiet=True):
         tck = (np.asarray(t), np.asarray(c), int(k))
     if freqs is None:
         return (modelname, source, datafile, mean_prof, eigvec, tck)
+    from pulseportraiture_tpu.models.spline import gen_spline_portrait_np
     return (modelname,
-            gen_spline_portrait(mean_prof, freqs, eigvec, tck, nbin))
+            gen_spline_portrait_np(mean_prof, freqs, eigvec, tck, nbin))
 
 
 def get_spline_model_coords(modelfile, nfreq=1000, lo_freq=None,

@@ -175,12 +175,15 @@ class _ModelSource:
                 model_code, jnp.asarray(p), alpha, phases, freqs, nu_ref))
         if self.kind == "spline":
             name, source, datafile, mean_prof, eigvec, tck = self.payload
+            # host evaluation: the result is consumed on the host (FT'd
+            # and cached), and a (nchan, nbin) device eval costs a
+            # multi-second fetch on tunneled backends for ~0.1 GFLOP
+            # (PERF.md round-5 model-build section)
             from pulseportraiture_tpu.models.spline import \
-                gen_spline_portrait
-            return np.asarray(gen_spline_portrait(
-                jnp.asarray(mean_prof), jnp.asarray(freqs),
-                jnp.asarray(eigvec), tck,
-                nbin if nbin != len(mean_prof) else None))
+                gen_spline_portrait_np
+            return gen_spline_portrait_np(
+                mean_prof, freqs, eigvec, tck,
+                nbin if nbin != len(mean_prof) else None)
         # FITS archive template: tscrunched/pscrunched portrait with
         # nearest-frequency channel matching (pptoas.py:320-339)
         arch = self.payload.copy()

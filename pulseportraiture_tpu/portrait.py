@@ -358,13 +358,21 @@ class DataPortrait:
         return_max = 10 if max_ncomp is None else min(max_ncomp, 10)
         eigval, eigvec = pca(port, mean_prof, pca_weights, quiet=quiet)
         if smooth:
+            # ONE batched smart_smooth over [mean_prof; eigvecs]: each
+            # nlevel is a distinct compiled program, so smoothing the
+            # mean separately doubled the compile/dispatch chain on
+            # the device (PERF.md round-5 model-build section)
+            nvec = max(10, return_max)
+            stack = np.vstack([np.asarray(mean_prof)[None],
+                               np.asarray(eigvec).T[:nvec]])
+            sm_all = np.asarray(smart_smooth(stack, rchi2_tol=rchi2_tol,
+                                             **kwargs))
             ieig, smooth_eigvec = find_significant_eigvec(
                 eigvec, check_max=10, return_max=return_max,
                 snr_cutoff=snr_cutoff, return_smooth=True,
-                rchi2_tol=rchi2_tol, **kwargs)
+                rchi2_tol=rchi2_tol, evs_all=sm_all[1:], **kwargs)
             self.smooth_eigvec = smooth_eigvec
-            smooth_mean_prof = np.asarray(smart_smooth(
-                mean_prof, rchi2_tol=rchi2_tol))
+            smooth_mean_prof = sm_all[0]
             self.smooth_mean_prof = smooth_mean_prof
             use_mean = smooth_mean_prof
             use_eigvec = smooth_eigvec
@@ -386,9 +394,14 @@ class DataPortrait:
             reconst_port = modelx.copy()
         else:
             delta_port = port - mean_prof
-            reconst_port = np.asarray(reconstruct_portrait(
-                jnp.asarray(port), jnp.asarray(mean_prof),
-                jnp.asarray(use_eigvec[:, ieig])))
+            # host evaluation for the portrait-sized small-FLOP pieces:
+            # on a tunneled backend each (nchan, nbin) device fetch is
+            # multi-second while the numpy gemm is ~0.1 s (PERF.md
+            # round-5 model-build section)
+            from pulseportraiture_tpu.models.spline import (
+                gen_spline_portrait_np, reconstruct_portrait_np)
+            reconst_port = reconstruct_portrait_np(
+                port, mean_prof, use_eigvec[:, ieig])
             proj_port = delta_port @ use_eigvec[:, ieig]
             # FITPACK-style smoothing target (ppspline.py:139-146)
             s = sfac * len(proj_port) * \
@@ -399,12 +412,10 @@ class DataPortrait:
                 freqs[::flip], proj_port[::flip].T,
                 weights=pca_weights[::flip], k=k, s=s,
                 max_nbreak=max_nbreak)
-            modelx = np.asarray(gen_spline_portrait(
-                jnp.asarray(use_mean), jnp.asarray(freqs),
-                jnp.asarray(use_eigvec[:, ieig]), tck))
-            model = np.asarray(gen_spline_portrait(
-                jnp.asarray(use_mean), jnp.asarray(self.freqs[0]),
-                jnp.asarray(use_eigvec[:, ieig]), tck))
+            modelx = gen_spline_portrait_np(
+                use_mean, freqs, use_eigvec[:, ieig], tck)
+            model = gen_spline_portrait_np(
+                use_mean, self.freqs[0], use_eigvec[:, ieig], tck)
         self.ieig = ieig
         self.ncomp = ncomp
         self.eigvec = eigvec
