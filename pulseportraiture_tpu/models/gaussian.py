@@ -15,6 +15,8 @@ transforms.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -195,18 +197,10 @@ def _to_external(u, lo, hi):
                                              jnp.where(hi_only, e_hi, u)))
 
 
-def levenberg_marquardt(residual_fn, x0, lo, hi, fit_mask, max_iter=200,
-                        ftol=1e-12, xtol=1e-12):
-    """Bounded LM minimization of sum(residual_fn(x)**2).
+def _lm_core(residual_fn, x0, lo, hi, mask, max_iter, ftol, xtol):
+    """Bounded LM loop body (pure; trace under jit or run eagerly).
 
-    residual_fn: x (p,) -> residuals (m,).  Bounds handled by smooth
-    transforms; frozen parameters (fit_mask=0) are held at x0.  The
-    Jacobian is exact (jax.jacfwd of the transformed residual).
-    """
-    x0 = jnp.asarray(x0)
-    lo = jnp.asarray(lo)
-    hi = jnp.asarray(hi)
-    mask = jnp.asarray(fit_mask, dtype=x0.dtype)
+    Returns (x_ext, chi2, niter, converged)."""
 
     def ext(u):
         xe = _to_external(u, lo, hi)
@@ -251,7 +245,76 @@ def levenberg_marquardt(residual_fn, x0, lo, hi, fit_mask, max_iter=200,
     state = (u0, jnp.asarray(1e-3, x0.dtype), chi2_0, jnp.asarray(0),
              jnp.asarray(False))
     u, lam, chi2, it, done = jax.lax.while_loop(cond, body, state)
-    return LMResult(x=ext(u), chi2=chi2, niter=it, converged=done)
+    return ext(u), chi2, it, done
+
+
+def levenberg_marquardt(residual_fn, x0, lo, hi, fit_mask, max_iter=200,
+                        ftol=1e-12, xtol=1e-12):
+    """Bounded LM minimization of sum(residual_fn(x)**2).
+
+    residual_fn: x (p,) -> residuals (m,).  Bounds handled by smooth
+    transforms; frozen parameters (fit_mask=0) are held at x0.  The
+    Jacobian is exact (jax.jacfwd of the transformed residual).
+
+    NOTE: this eager entry point closes over the residual's data, so
+    on a remote backend the loop recompiles per call with the data
+    baked in as HLO constants.  Hot model-build callers use
+    levenberg_marquardt_jit with the data threaded as traced args
+    (PERF.md round-5 model-build section); this stays for small/
+    one-off fits (fitters/powlaw.py).
+    """
+    x0 = jnp.asarray(x0)
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+    mask = jnp.asarray(fit_mask, dtype=x0.dtype)
+    x, chi2, it, done = _lm_core(residual_fn, x0, lo, hi, mask,
+                                 max_iter, ftol, xtol)
+    return LMResult(x=x, chi2=chi2, niter=it, converged=done)
+
+
+@functools.lru_cache(maxsize=64)
+def _lm_jit_cache(residual_fn, max_iter, ftol, xtol):
+    """Jitted LM driver for a MODULE-LEVEL residual_fn(x, *res_args).
+
+    One compiled program covers the preamble, the whole while_loop,
+    and the masked JtJ curvature at the solution.  The residual's data
+    arrives as traced arguments, so the executable caches on shapes —
+    a per-call closure would bake each archive's portrait into the HLO
+    as constants and recompile the loop remotely every call (the
+    round-4 ppgauss build spent 494 of 557 s in exactly that;
+    PERF.md round-5 model-build section)."""
+
+    @jax.jit
+    def run(x0, lo, hi, mask, *res_args):
+        def rf(x):
+            return residual_fn(x, *res_args)
+
+        x, chi2, it, done = _lm_core(rf, x0, lo, hi, mask, max_iter,
+                                     ftol, xtol)
+        J = jax.jacfwd(rf)(x)
+        J = jnp.where(jnp.isfinite(J), J, 0.0)
+        return x, chi2, it, done, J.T @ J
+
+    return run
+
+
+def levenberg_marquardt_jit(residual_fn, x0, lo, hi, fit_mask,
+                            res_args=(), max_iter=200, ftol=1e-12,
+                            xtol=1e-12):
+    """Fully-jitted bounded LM + solution curvature.
+
+    residual_fn must be a MODULE-LEVEL (or lru-cached) function with
+    signature residual_fn(x, *res_args) so the jit cache hits across
+    calls; res_args are traced.  Returns (LMResult, JtJ) with JtJ the
+    (p, p) masked-jacobian Gram matrix at the solution (host errors
+    via _param_errs_from_jtj)."""
+    x0 = jnp.asarray(x0)
+    run = _lm_jit_cache(residual_fn, int(max_iter), float(ftol),
+                        float(xtol))
+    x, chi2, it, done, JtJ = run(
+        x0, jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(fit_mask, dtype=x0.dtype), *res_args)
+    return LMResult(x=x, chi2=chi2, niter=it, converged=done), JtJ
 
 
 def _profile_bounds(nparam, wid_max=WID_MAX):
@@ -287,37 +350,50 @@ def fit_gaussian_profile(data, init_params, errs, fit_flags=None,
     lo, hi = _profile_bounds(nparam)
     err_arr = jnp.broadcast_to(jnp.asarray(errs), data.shape)
 
-    def residual(p):
-        return (data - gen_gaussian_profile(p, nbin)) / err_arr
-
-    res = levenberg_marquardt(residual, init_params, lo, hi,
-                              jnp.asarray(mask))
+    res, JtJ = levenberg_marquardt_jit(_profile_residual, init_params,
+                                       lo, hi, jnp.asarray(mask),
+                                       res_args=(data, err_arr))
     dof = nbin - int(mask.sum())
-    residuals = np.asarray(residual(res.x)) * np.asarray(err_arr)
-    fit_errs = _lm_param_errs(residual, res.x, jnp.asarray(mask))
+    residuals = np.asarray(
+        _profile_residual(res.x, data, err_arr)) * np.asarray(err_arr)
+    fit_errs = _param_errs_from_jtj(np.asarray(JtJ, np.float64), mask)
     return DataBunch(fitted_params=np.asarray(res.x), fit_errs=fit_errs,
                      residuals=residuals, chi2=float(res.chi2), dof=dof,
                      red_chi2=float(res.chi2) / max(dof, 1),
                      niter=int(res.niter))
 
 
-def _lm_param_errs(residual_fn, x, mask):
-    """1-sigma errors from the JtJ curvature at the solution."""
+def _profile_residual(p, data, err_arr):
+    """Module-level profile-fit residual (levenberg_marquardt_jit)."""
+    return (data - gen_gaussian_profile(p, data.shape[0])) / err_arr
 
-    def _jtj(xv):
-        J = jax.jacfwd(residual_fn)(xv)   # (m, p) — stays on device
-        # a parameter pinned at a bound (e.g. tau=0 into the scattering
-        # FT) can produce non-finite jacobian columns; treat them as
-        # zero-sensitivity directions rather than poisoning the
-        # factorization
-        J = jnp.where(jnp.isfinite(J), J, 0.0)
-        return J.T @ J
-    # only the (p, p) curvature crosses to the host: at 4096ch x 2048bin
-    # the Jacobian itself is ~0.7 GB, a multi-minute fetch on the remote
-    # TPU tunnel
+
+@functools.lru_cache(maxsize=32)
+def _portrait_residual_fn(model_code, join_ichans_static, with_P):
+    """Module-level (lru-cached) portrait-fit residual for
+    levenberg_marquardt_jit: statics ride the cache key, the data/
+    phases/freqs arrive as traced args so the compiled LM program is
+    reused across archives."""
+
+    def residual(p, data, err_arr, phases, freqs, nu_ref, *rest):
+        model = gen_gaussian_portrait(
+            model_code, p[:-1], p[-1], phases, freqs, nu_ref,
+            join_ichans=join_ichans_static,
+            P=rest[0] if with_P else None)
+        return ((data - model) / err_arr).ravel()
+
+    return residual
+
+
+def _param_errs_from_jtj(JtJ, mask):
+    """1-sigma errors from the (p, p) JtJ curvature at the solution.
+
+    Only the tiny curvature matrix crosses to the host — at
+    4096ch x 2048bin the Jacobian itself is ~0.7 GB, a multi-minute
+    fetch on the remote TPU tunnel."""
     m = np.asarray(mask) > 0
-    JtJ = np.asarray(_jtj(x), dtype=np.float64)
-    errs = np.zeros(len(x))
+    JtJ = np.asarray(JtJ, dtype=np.float64)
+    errs = np.zeros(JtJ.shape[0])
     sub = JtJ[np.ix_(m, m)]
     # pinv: singular directions (e.g. tau pinned at its 0 bound) get zero
     # error instead of poisoning every other parameter's error
@@ -384,17 +460,19 @@ def fit_gaussian_portrait(model_code, data, init_params, scattering_index,
     join_ichans_static = tuple(tuple(np.asarray(ic).tolist())
                                for ic in join_ichans)
 
-    def residual(p):
-        model = gen_gaussian_portrait(model_code, p[:-1], p[-1], phases,
-                                      freqs, nu_ref,
-                                      join_ichans=join_ichans_static, P=P)
-        return ((data - model) / err_arr).ravel()
-
-    res = levenberg_marquardt(residual, init_full, jnp.asarray(lo),
-                              jnp.asarray(hi), jnp.asarray(mask))
+    residual = _portrait_residual_fn(str(model_code), join_ichans_static,
+                                     P is not None)
+    res_args = [data, err_arr, jnp.asarray(phases),
+                freqs, jnp.asarray(nu_ref, data.dtype)]
+    if P is not None:
+        res_args.append(jnp.asarray(P, data.dtype))
+    res, JtJ = levenberg_marquardt_jit(residual, init_full,
+                                       jnp.asarray(lo), jnp.asarray(hi),
+                                       jnp.asarray(mask),
+                                       res_args=tuple(res_args))
     dof = data.size - int(mask.sum())
     x = np.asarray(res.x)
-    fit_errs_all = _lm_param_errs(residual, res.x, jnp.asarray(mask))
+    fit_errs_all = _param_errs_from_jtj(np.asarray(JtJ, np.float64), mask)
     return DataBunch(fitted_params=x[:-1], fit_errs=fit_errs_all[:-1],
                      scattering_index=float(x[-1]),
                      scattering_index_err=float(fit_errs_all[-1]),
