@@ -161,6 +161,14 @@ def gen_gaussian_portrait(model_code, params, scattering_index, phases,
     return gport
 
 
+#: jitted portrait generator for host callers that evaluate the model
+#: eagerly between fit iterations (portrait.py make_gaussian_model) —
+#: on the remote backend each eager primitive pays a remote
+#: compile/dispatch, so the one-program form is ~10x cheaper there.
+gen_gaussian_portrait_jit = jax.jit(
+    gen_gaussian_portrait, static_argnames=("model_code", "join_ichans"))
+
+
 # ----------------------------------------------------------------------
 # Bounded Levenberg-Marquardt (replaces lmfit; pplib.py:1842-2052)
 # ----------------------------------------------------------------------

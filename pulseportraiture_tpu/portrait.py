@@ -577,9 +577,12 @@ class DataPortrait:
                                           len(init_params) + njp]) \
                     if len(results.fitted_params) > len(init_params) else \
                     self.join_params
-            self.model = np.asarray(gen_gaussian_portrait(
-                model_code, jnp.asarray(init_params), scattering_index,
-                self.phases, self.freqs[0], nu_ref))
+            from pulseportraiture_tpu.models.gaussian import \
+                gen_gaussian_portrait_jit
+            self.model = np.asarray(gen_gaussian_portrait_jit(
+                model_code, jnp.asarray(init_params),
+                jnp.asarray(scattering_index), jnp.asarray(self.phases),
+                jnp.asarray(self.freqs[0]), jnp.asarray(nu_ref)))
             self.modelx = self.model[self.ok_ichans[0]]
             self.model_masked = self.model * self.masks[0, 0]
             if writemodel:
