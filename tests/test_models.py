@@ -279,3 +279,35 @@ def test_fit_parametric_spline_matches_scipy_splprep_evaluation():
     err_ours = np.max(np.abs(ours - truth_e))
     err_theirs = np.max(np.abs(theirs - truth_e))
     assert err_ours < 1.5 * err_theirs + 1e-3, (err_ours, err_theirs)
+
+
+def test_host_spline_evaluators_match_jax():
+    """splev_np / gen_spline_portrait_np / reconstruct_portrait_np (the
+    round-5 host-side evaluation twins) agree with the JAX versions to
+    f64 rounding — the model-build and pipeline paths consume them on
+    the host to avoid portrait-sized device fetches."""
+    import numpy as np
+
+    from pulseportraiture_tpu.models.spline import (
+        fit_parametric_spline, gen_spline_portrait,
+        gen_spline_portrait_np, reconstruct_portrait,
+        reconstruct_portrait_np, splev, splev_np)
+
+    rng = np.random.default_rng(0)
+    u = np.linspace(1100.0, 1900.0, 64)
+    pts = np.stack([np.sin(u / 300.0), np.cos(u / 500.0)])
+    tck, _ = fit_parametric_spline(u, pts, k=3, s=1e-6)
+    x = np.linspace(1100.0, 1900.0, 200)
+    assert np.abs(np.asarray(splev(x, tck)) -
+                  splev_np(x, tck)).max() < 1e-12
+    mean = rng.normal(0, 1, 128)
+    V = np.linalg.qr(rng.normal(0, 1, (128, 2)))[0]
+    assert np.abs(np.asarray(gen_spline_portrait(mean, x, V, tck)) -
+                  gen_spline_portrait_np(mean, x, V, tck)).max() < 1e-12
+    port = rng.normal(0, 1, (16, 128))
+    assert np.abs(np.asarray(reconstruct_portrait(port, mean, V)) -
+                  reconstruct_portrait_np(port, mean, V)).max() < 1e-12
+    # empty-eigvec branch
+    g0 = gen_spline_portrait_np(mean, x, V[:, :0], tck)
+    assert g0.shape == (len(x), len(mean))
+    assert np.abs(g0 - mean[None]).max() == 0.0
