@@ -139,7 +139,7 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
 
     mask = None if step_mask is None else jnp.asarray(step_mask, dtype)
 
-    def _lookahead(f, g, H, radius):
+    def _lookahead(f, g, H, radius, step_scale):
         """Speculative-final-step LOOKAHEAD.
 
         Solves the next trust-region subproblem from (g, H) already in
@@ -147,31 +147,35 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         floating-point resolution of f — the same condition the
         tiny_pred acceptance would discover one fgh evaluation later.
         When it does, the caller TAKES the step p without evaluating
-        fgh at it: x+p is bit-identical to the point the next
-        iteration would have accepted (same g, H, radius -> same
-        subproblem solution), so fitted parameters match the
-        non-lookahead optimizer; only f/g/H/aux stay one sub-floor
-        step stale (bounded by pred <= 8 eps |f| — below what f32 can
-        resolve in f, and far below the parameter covariance).  For
-        the batched fit the vmapped while_loop runs max-over-batch
-        iterations and the final iteration is almost always exactly
-        this sub-floor step (PERF.md round 5): skipping its evaluation
-        saves one full pass over the spectra per batch.  The (<=5x5)
-        subproblem re-solve costs microseconds."""
+        fgh at it: it is the same step the next iteration would have
+        accepted (same g, H, radius -> same subproblem solution), so
+        this saves one full pass over the spectra per batch — the
+        vmapped while_loop runs max-over-batch iterations and the
+        final iteration is almost always exactly this sub-floor step
+        (PERF.md round 5).  Only f/g/H/aux stay one sub-floor step
+        stale (pred <= 8 eps |f|, below what f32 can resolve in f).
+
+        Because the step is NOT evaluated, it must stay inside the
+        region where the quadratic model was just VERIFIED: |p| <=
+        step_scale, the length of the last evaluation-checked accepted
+        step.  Without the bound, a near-singular Hessian direction
+        can carry |p| up to the trust radius while the (local!)
+        quadratic model still predicts a sub-floor change — a jump the
+        real optimizer's actual-decrease check would have rejected.
+        The (<=5x5) subproblem re-solve costs microseconds."""
         p, _ = _tr_solve(g, H, radius)
         if mask is not None:
             p = p * mask
         pred = -(g @ p + 0.5 * p @ H @ p)
         below = (pred >= 0.0) & \
-            (pred <= 8.0 * jnp.finfo(dtype).eps * jnp.abs(f))
+            (pred <= 8.0 * jnp.finfo(dtype).eps * jnp.abs(f)) & \
+            (jnp.sqrt(jnp.sum(p ** 2)) <= step_scale)
         return below, p
 
-    radius0 = jnp.asarray(init_radius, dtype)
-    done0, p0 = _lookahead(f0, g0, H0, radius0)
-    st = _State(x=jnp.where(done0, x0 + p0, x0), f=f0, g=g0, H=H0,
-                radius=radius0,
+    st = _State(x=x0, f=f0, g=g0, H=H0,
+                radius=jnp.asarray(init_radius, dtype),
                 it=jnp.asarray(0), nfev=jnp.asarray(1),
-                status=jnp.where(done0, 1, 3), done=done0,
+                status=jnp.asarray(3), done=jnp.asarray(False),
                 aux=aux0)
 
     def cond(st):
@@ -219,11 +223,12 @@ def trust_region_minimize(fgh: Callable, x0, max_iter: int = 100,
         xconv = accept & (pnorm < xtol)
         # speculative final step on the ACCEPTED point: when the next
         # subproblem's predicted decrease is below the f32 resolution
-        # of f, take that step NOW (bit-identical to what the next
+        # of f AND the step is no longer than the one just verified by
+        # this evaluation, take it NOW (the same step the next
         # iteration would accept) and stop without paying its fgh
         # evaluation (non-accepted iterations keep stale g/H and must
         # re-iterate)
-        below2, p2 = _lookahead(f, g, H, radius)
+        below2, p2 = _lookahead(f, g, H, radius, pnorm)
         spec = accept & below2
         x = jnp.where(spec, x + p2, x)
         fconv = (accept & (ftol > 0.0) & (actual < ftol * jnp.maximum(

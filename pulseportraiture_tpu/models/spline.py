@@ -41,8 +41,8 @@ def pca(port, mean_prof=None, weights=None, quiet=True):
     V1 = weights.sum()
     V2 = (weights ** 2).sum()
     import os
-    if X.size >= (1 << 22) and os.environ.get("PP_PCA_DEVICE") not in \
-            (None, "0", "false"):
+    if X.size >= (1 << 22) and os.environ.get("PP_PCA_DEVICE", "") not in \
+            ("", "0", "false"):
         # opt-in device Gram matrix (HIGHEST precision — the default
         # bf16 passes would distort the covariance the eigh
         # diagonalizes).  Round 5 flipped the campaign-scale DEFAULT
@@ -117,6 +117,12 @@ def find_significant_eigvec(eigvec, check_max=10, return_max=10,
                 ncross = count_crossings(np.abs(ev), 0.1 * np.abs(ev).max())
                 if ncross < int(0.02 * len(ev)):
                     add = True
+            # NB: `and add` makes this branch unreachable (add is still
+            # False here) — the REFERENCE has the identical dead branch
+            # (pplib.py:1598 `elif check_acorr and ... and add_eigvec:`
+            # with add_eigvec False), so its acorr FWHM filter never
+            # runs either.  Kept bug-for-bug for behavior parity; see
+            # PARITY.md.
             elif check_acorr and ev_snr < 3 * snr_cutoff and add:
                 acorr = np.correlate(ev, ev, "same")
                 fwhm = acorr.argmax() - \
@@ -307,17 +313,40 @@ def fit_parametric_spline(u, points, weights=None, k=3, s=None,
 def splev_np(x, tck):
     """Host-numpy splev (parametric): values (ndim, npts).
 
-    Same curve as splev (the de Boor bases agree to rounding); used
-    where the result is consumed on the HOST — on a tunneled backend a
-    device evaluation of a (nchan, nbin) portrait pays a multi-second
-    fetch for ~0.1 GFLOP of work (PERF.md round-5 model-build section).
+    Mirrors splev's de Boor recursion exactly — including ext=0
+    EXTRAPOLATION outside the knot span (the interval index clamps to
+    the edge span and the local polynomial extends), which the basis-
+    matrix form used for FITTING cannot do (its Cox-de Boor indicators
+    are zero outside the span).  Out-of-span evaluation is a
+    production case: make_spline_model evaluates the model over ALL
+    channels including zapped band edges outside the fitted ok-channel
+    span, and read_spline_model evaluates saved models on new
+    archives' frequency grids.  Used where the result is consumed on
+    the HOST — on a tunneled backend a device evaluation of a
+    (nchan, nbin) portrait pays a multi-second fetch for ~0.1 GFLOP of
+    work (PERF.md round-5 model-build section).
     """
     t, c, k = tck
     t = np.asarray(t, dtype=float)
     c = np.atleast_2d(np.asarray(c, dtype=float))
     x = np.atleast_1d(np.asarray(x, dtype=float))
-    B = _bspline_basis(x, t, int(k))         # (npts, ncoef)
-    return c @ B.T                           # (ndim, npts)
+    k = int(k)
+    n = len(t) - k - 1
+    # same interval clamp as splev: de Boor on the edge span
+    # extrapolates for x outside [t[k], t[n]]
+    i = np.clip(np.searchsorted(t, x, side="right") - 1, k, n - 1)
+    idx = i[:, None] - k + np.arange(k + 1)[None, :]   # (npts, k+1)
+    d = c[:, idx]                                      # (ndim, npts, k+1)
+    d = np.ascontiguousarray(d)
+    for r in range(1, k + 1):
+        for j in range(k, r - 1, -1):
+            denom = t[idx[:, j] + k - r + 1] - t[idx[:, j]]
+            alpha = np.where(denom > 0,
+                             (x - t[idx[:, j]]) /
+                             np.where(denom > 0, denom, 1.0), 0.0)
+            d[:, :, j] = (1.0 - alpha) * d[:, :, j - 1] + \
+                alpha * d[:, :, j]
+    return d[:, :, k]                                  # (ndim, npts)
 
 
 def gen_spline_portrait_np(mean_prof, freqs, eigvec, tck, nbin=None):

@@ -344,8 +344,7 @@ class DataPortrait:
                           model_name=None, quiet=False, **kwargs):
         """PCA + B-spline interpolation model (ppspline.py:34-204)."""
         from pulseportraiture_tpu.models.spline import (
-            fit_parametric_spline, find_significant_eigvec,
-            gen_spline_portrait, pca, reconstruct_portrait)
+            fit_parametric_spline, find_significant_eigvec, pca)
         from pulseportraiture_tpu.models.wavelet import smart_smooth
 
         port = self.portx
@@ -384,7 +383,6 @@ class DataPortrait:
             use_mean = mean_prof
             use_eigvec = eigvec
         ncomp = len(ieig)
-        import jax.numpy as jnp
         if ncomp == 0:
             proj_port = port[:, :0]
             tck = (np.array([]), np.zeros((0, 0)), 0)

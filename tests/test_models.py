@@ -297,7 +297,10 @@ def test_host_spline_evaluators_match_jax():
     u = np.linspace(1100.0, 1900.0, 64)
     pts = np.stack([np.sin(u / 300.0), np.cos(u / 500.0)])
     tck, _ = fit_parametric_spline(u, pts, k=3, s=1e-6)
-    x = np.linspace(1100.0, 1900.0, 200)
+    # include x OUTSIDE the knot span: splev/scipy ext=0 EXTRAPOLATE
+    # there, and production evaluates zapped band-edge channels and
+    # foreign frequency grids beyond the fitted ok-channel span
+    x = np.linspace(900.0, 2100.0, 300)
     assert np.abs(np.asarray(splev(x, tck)) -
                   splev_np(x, tck)).max() < 1e-12
     mean = rng.normal(0, 1, 128)
