@@ -486,3 +486,35 @@ def test_newton_speculative_step_respects_mask():
         init_radius=100.0, step_mask=(1, 1, 0))
     assert float(res.x[2]) == 0.125
     assert np.abs(np.asarray(res.x[:2]) - np.asarray(a[:2])).max() < 1e-5
+
+
+def test_newton_speculative_step_bounded_on_singular_hessian():
+    """The speculative final step must not fire on a near-singular
+    Hessian's say-so: along a soft direction the quadratic model can
+    predict a sub-floor decrease for a large jump it has no authority
+    over.  The guard (|p| <= last verified step) forces a real
+    evaluation instead, and the optimizer must land at the true
+    minimizer of the quartic valley, not at a speculative overshoot."""
+    from pulseportraiture_tpu.fitters import newton
+
+    C = jnp.asarray(3e7, jnp.float32)     # large offset -> large floor
+    # stiff in x0, quartic (locally near-singular) valley in x1:
+    # f = C + 1e6 (x0-0.1)^2 + (x1-0.2)^4
+    a0, a1 = 0.1, 0.2
+
+    def fgh(x):
+        d0 = x[0] - a0
+        d1 = x[1] - a1
+        f = C + 1e6 * d0 ** 2 + d1 ** 4
+        g = jnp.asarray([2e6 * d0, 4.0 * d1 ** 3])
+        H = jnp.asarray([[2e6, 0.0], [0.0, 12.0 * d1 ** 2]])
+        return f, g, H
+
+    res = newton.trust_region_minimize(fgh, jnp.asarray([0.0, 0.0]),
+                                       max_iter=60, init_radius=1.0)
+    x = np.asarray(res.x)
+    assert abs(x[0] - a0) < 1e-4, x
+    # the quartic direction converges only to the floor's resolution
+    # (d1^4 <= 8 eps |C| -> |d1| ~ 0.13 in f32), but must not OVERSHOOT
+    # past the minimizer by a speculative radius-sized jump
+    assert x[1] < a1 + 0.15 and x[1] > -0.05, x
