@@ -566,6 +566,23 @@ def pallas_direct_setup(x, mr_p, mi_p, f0_fact=False, w=None, scale=None,
 
 
 @functools.lru_cache(maxsize=8)
+def _ct_step2_split_np(nbin: int, M0: int):
+    """bf16 hi/lo split of the CT step-2 trig matrices (f64 masters),
+    for the in-kernel split-bf16 HIGH-precision dots (see ct_setup:
+    three bf16 passes reproduce lax.Precision.HIGH at the native MXU
+    rate, vs HIGHEST's six)."""
+    r = np.arange(_LANES, dtype=np.float64)
+    m = np.arange(M0, dtype=np.float64)
+    C2 = np.cos(2.0 * np.pi * np.outer(r, m) / _LANES)
+    S2 = np.sin(2.0 * np.pi * np.outer(r, m) / _LANES)
+    C2hi = C2.astype(jnp.bfloat16)
+    S2hi = S2.astype(jnp.bfloat16)
+    C2lo = (C2 - np.asarray(C2hi, np.float64)).astype(jnp.bfloat16)
+    S2lo = (S2 - np.asarray(S2hi, np.float64)).astype(jnp.bfloat16)
+    return C2hi, C2lo, S2hi, S2lo
+
+
+@functools.lru_cache(maxsize=8)
 def _ct_consts_np(nbin: int):
     """Step-1 scalar weights, step-2 matrices, twiddles, and the
     alternating Nyquist row (host)."""
@@ -585,7 +602,8 @@ def _ct_consts_np(nbin: int):
 
 
 def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
-                             with_scale=False, mharm=None):
+                             with_scale=False, mharm=None,
+                             split_high=False):
     NQ, M0, NH = ct_geometry(nbin, mharm)
     capped = mharm is not None
     with_seed = kseed > 0
@@ -601,6 +619,15 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
 
     def kernel(x_ref, mr_ref, mi_ref, c2_ref, s2_ref, tc_ref, ts_ref,
                alt_ref, *rest):
+        if split_high:
+            # dft_precision="high": manual split-bf16 step-2 dots
+            # (x_hi E_hi + x_lo E_hi + x_hi E_lo) at the native bf16
+            # MXU rate — Mosaic only offers DEFAULT/HIGHEST and the
+            # HIGHEST lowering is 6 passes (~28 ms of a B=128
+            # 4096x2048 uncapped setup); c2/s2 hold the bf16 HI trig
+            # parts and two extra refs carry the LO parts
+            c2lo_ref, s2lo_ref = rest[0], rest[1]
+            rest = rest[2:]
         if with_scale:
             # int16-native ingest: the archive's quantized samples are
             # dequantized in VMEM (value = scale_c * raw; the per-channel
@@ -620,8 +647,38 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
             seg_i = [[] for _ in range(kseed)]
         else:
             gr_ref, gi_ref, sd_ref = rest
-        C2 = c2_ref[:]
-        S2 = s2_ref[:]
+        if split_high:
+            C2hi = c2_ref[:]
+            S2hi = s2_ref[:]
+            C2lo = c2lo_ref[:]
+            S2lo = s2lo_ref[:]
+
+            def _split3(b, mhi, mlo):
+                bhi = b.astype(jnp.bfloat16)
+                blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return (jnp.dot(bhi, mhi,
+                                preferred_element_type=jnp.float32) +
+                        jnp.dot(blo, mhi,
+                                preferred_element_type=jnp.float32) +
+                        jnp.dot(bhi, mlo,
+                                preferred_element_type=jnp.float32))
+
+            def dotC(b):
+                return _split3(b, C2hi, C2lo)
+
+            def dotS(b):
+                return _split3(b, S2hi, S2lo)
+        else:
+            C2 = c2_ref[:]
+            S2 = s2_ref[:]
+
+            def dotC(b):
+                return jnp.dot(b, C2, precision=prec,
+                               preferred_element_type=jnp.float32)
+
+            def dotS(b):
+                return jnp.dot(b, S2, precision=prec,
+                               preferred_element_type=jnp.float32)
         x = x_ref[0]                # (CBLK, nbin); batch dim in grid
         if with_scale:
             x = x.astype(jnp.float32) * scl_ref[0]     # (CBLK, 1) scale
@@ -666,14 +723,8 @@ def _ct_setup_kernel_factory(nbin, f0_fact, prec, kseed=0,
                 Br = Ar * tc - Ai * ts
                 Bi = -(Ar * ts + Ai * tc)
             # step 2: X = sum_r (Br + i Bi) e^{-2 pi i r m/128}
-            Xr = jnp.dot(Br, C2, precision=prec,
-                         preferred_element_type=jnp.float32) + \
-                jnp.dot(Bi, S2, precision=prec,
-                        preferred_element_type=jnp.float32)
-            Xi = jnp.dot(Bi, C2, precision=prec,
-                         preferred_element_type=jnp.float32) - \
-                jnp.dot(Br, S2, precision=prec,
-                        preferred_element_type=jnp.float32)
+            Xr = dotC(Br) + dotS(Bi)
+            Xi = dotC(Bi) - dotS(Br)
             if u == 0 and not f0_fact and not capped:
                 dc2 = Xr[:, :1] * Xr[:, :1] + Xi[:, :1] * Xi[:, :1]
             mr = mr_ref[:, u * M0:(u + 1) * M0]
@@ -794,18 +845,24 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     NQ, M0, NH = ct_geometry(nbin, mharm)
     assert mr_p.shape[-1] == NH, \
         f"model spectrum has {mr_p.shape[-1]} positions, layout wants {NH}"
-    # Mosaic dots support only DEFAULT and HIGHEST; HIGH maps to
-    # HIGHEST (the in-kernel matmuls are ~8x smaller than the direct
-    # DFT, so the extra passes cost little)
+    # Mosaic dots support only DEFAULT and HIGHEST; HIGH is reproduced
+    # manually as three split-bf16 passes at the native MXU rate
+    # (round 5 — the previous high->HIGHEST mapping paid the 6-pass
+    # lowering, ~28 ms of a B=128 4096x2048 uncapped setup);
+    # "highest" keeps true Precision.HIGHEST dots
+    eff_prec = (dft_precision or "highest").lower()
+    split_high = eff_prec == "high"
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}[
-        (dft_precision or "highest").lower()]
+            "default": jax.lax.Precision.DEFAULT}[eff_prec]
     _, _, C2np, S2np, TCnp, TSnp, ALTnp = _ct_consts_np(nbin)
     if mharm is not None:
         # step-2 dots only produce the kept m columns
         C2np = C2np[:, :M0]
         S2np = S2np[:, :M0]
+    C2lo_np = S2lo_np = None
+    if split_high:
+        C2np, C2lo_np, S2np, S2lo_np = _ct_step2_split_np(nbin, M0)
     with_scale = scale is not None
     if with_scale:
         assert not f0_fact, \
@@ -837,7 +894,8 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     grid = (B, ntot // cblk)
     kern = _ct_setup_kernel_factory(nbin, bool(f0_fact), prec,
                                     kseed=kseed,
-                                    with_scale=with_scale, mharm=mharm)
+                                    with_scale=with_scale, mharm=mharm,
+                                    split_high=split_high)
     out_shapes = (jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, NH), jnp.float32),
                   jax.ShapeDtypeStruct((B, ntot, 1), jnp.float32))
@@ -874,6 +932,13 @@ def ct_setup(x, mr_p, mi_p, f0_fact=False, dft_precision="highest",
     ]
     args = [x, mr_p, mi_p, jnp.asarray(C2np), jnp.asarray(S2np),
             jnp.asarray(TCnp), jnp.asarray(TSnp), jnp.asarray(ALTnp)]
+    if split_high:
+        in_specs.extend([
+            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, M0), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM)])
+        args.extend([jnp.asarray(C2lo_np), jnp.asarray(S2lo_np)])
     if with_scale:
         in_specs.append(pl.BlockSpec((1, cblk, 1), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM))
